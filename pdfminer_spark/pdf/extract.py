@@ -1,0 +1,70 @@
+"""Document-level extraction entry points (the in-UDF top level).
+
+``extract_text`` reproduces the reference's ``pdf2txt.py -t text`` output:
+per-box text in reading order, '\\n' after each box, '\\f' after each page
+(/root/reference/pdfminer/converter.py:155-196). ``extract_pages`` returns
+the analyzed layout tree for span-level consumers (the XML/box outputs).
+"""
+from __future__ import annotations
+
+from .document import PdfDocument
+from .interp import Interpreter, ResourceCache
+from .layout import Anno, Char, Container, Figure, LAParams, Page, TextBox
+
+
+class ExtractionNotAllowed(Exception):
+    pass
+
+
+def open_pages(data: bytes, password: bytes = b"", page_numbers=None,
+               maxpages: int = 0, check_extractable: bool = True):
+    """Yield raw (un-interpreted) PdfPage objects."""
+    doc = PdfDocument(data, password=password)
+    if check_extractable and not doc.is_extractable:
+        raise ExtractionNotAllowed("text extraction is not allowed")
+    for (pageno, page) in enumerate(doc.get_pages()):
+        if page_numbers is not None and pageno not in page_numbers:
+            continue
+        yield page
+        if maxpages and maxpages <= pageno + 1:
+            break
+
+
+def extract_pages(data: bytes, password: bytes = b"", page_numbers=None,
+                  maxpages: int = 0, laparams: LAParams | None = None,
+                  collect_shapes: bool = True) -> list[Page]:
+    """Parse + interpret + layout-analyze; returns Page layout trees."""
+    if laparams is None:
+        laparams = LAParams()
+    rsrc = ResourceCache()
+    interp = Interpreter(rsrc, laparams, collect_shapes=collect_shapes)
+    pages = []
+    for page in open_pages(data, password=password, page_numbers=page_numbers,
+                           maxpages=maxpages):
+        pages.append(interp.process_page(page))
+    return pages
+
+
+def render_text(item, out: list) -> None:
+    """Depth-first text emission (reference TextConverter.receive_layout)."""
+    if isinstance(item, Container):
+        for child in item.objs:
+            render_text(child, out)
+    elif isinstance(item, (Char, Anno)):
+        out.append(item.get_text())
+    if isinstance(item, TextBox):
+        out.append("\n")
+
+
+def extract_text(data: bytes, password: bytes = b"", page_numbers=None,
+                 maxpages: int = 0, laparams: LAParams | None = None) -> str:
+    """Full text of the selected pages, golden-compatible with pdf2txt.py."""
+    out: list[str] = []
+    # shapes are never emitted as text: skip collecting them (the
+    # reference's TextConverter.paint_path no-op memory optimization)
+    for page in extract_pages(data, password=password,
+                              page_numbers=page_numbers, maxpages=maxpages,
+                              laparams=laparams, collect_shapes=False):
+        render_text(page, out)
+        out.append("\f")
+    return "".join(out)

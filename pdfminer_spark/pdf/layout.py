@@ -1,0 +1,643 @@
+"""Layout analysis: positioned glyphs -> lines -> boxes -> reading order.
+
+Implements pdfminer-compatible layout semantics (LAParams-driven grouping;
+/root/reference/pdfminer/layout.py) over flat item records:
+
+- chars -> lines: sequential clustering of the emission-ordered char stream
+  with halign/valign predicates (reference layout.py:496-565),
+- lines -> boxes: neighbor closure over a grid-hash spatial index
+  (reference layout.py:568-596, Plane utils.py:254-333),
+- boxes -> group tree: agglomerative min-distance merging that yields the
+  reading order (reference layout.py:599-664).
+
+Determinism notes: every sort is a stable sort keyed with the original
+sequence index (the reference's ``csort``), and the grid index preserves
+insertion order — both are observable in the golden outputs.
+"""
+from __future__ import annotations
+
+INF = float("inf")
+
+
+class LAParams:
+    """Layout-analysis knobs (defaults = reference layout.py:33-54)."""
+
+    __slots__ = ("line_overlap", "char_margin", "line_margin", "word_margin",
+                 "boxes_flow", "detect_vertical", "all_texts")
+
+    def __init__(self, line_overlap=0.5, char_margin=2.0, line_margin=0.5,
+                 word_margin=0.1, boxes_flow=0.5, detect_vertical=False,
+                 all_texts=False):
+        self.line_overlap = line_overlap
+        self.char_margin = char_margin
+        self.line_margin = line_margin
+        self.word_margin = word_margin
+        self.boxes_flow = boxes_flow
+        self.detect_vertical = detect_vertical
+        self.all_texts = all_texts
+
+
+def _csort_idx(objs, key):
+    """Order-preserving sort: ties broken by original index (the
+    reference's ``csort``, utils.py:107-110 — determinism-critical)."""
+    idx = {id(o): i for (i, o) in enumerate(objs)}
+    return sorted(objs, key=lambda o: (key(o), idx[id(o)]))
+
+
+class Item:
+    """Anything with a bbox."""
+
+    __slots__ = ("x0", "y0", "x1", "y1")
+
+    def __init__(self, x0=INF, y0=INF, x1=-INF, y1=-INF):
+        self.x0 = x0
+        self.y0 = y0
+        self.x1 = x1
+        self.y1 = y1
+
+    @property
+    def width(self):
+        return self.x1 - self.x0
+
+    @property
+    def height(self):
+        return self.y1 - self.y0
+
+    @property
+    def bbox(self):
+        return (self.x0, self.y0, self.x1, self.y1)
+
+    def is_empty(self):
+        return self.x1 - self.x0 <= 0 or self.y1 - self.y0 <= 0
+
+    # horizontal / vertical overlap predicates (reference layout.py:115-149)
+    def is_hoverlap(self, other):
+        return other.x0 <= self.x1 and self.x0 <= other.x1
+
+    def hdistance(self, other):
+        if self.is_hoverlap(other):
+            return 0
+        return min(abs(self.x0 - other.x1), abs(self.x1 - other.x0))
+
+    def hoverlap(self, other):
+        if self.is_hoverlap(other):
+            return min(abs(self.x0 - other.x1), abs(self.x1 - other.x0))
+        return 0
+
+    def is_voverlap(self, other):
+        return other.y0 <= self.y1 and self.y0 <= other.y1
+
+    def vdistance(self, other):
+        if self.is_voverlap(other):
+            return 0
+        return min(abs(self.y0 - other.y1), abs(self.y1 - other.y0))
+
+    def voverlap(self, other):
+        if self.is_voverlap(other):
+            return min(abs(self.y0 - other.y1), abs(self.y1 - other.y0))
+        return 0
+
+
+class Char(Item):
+    """One positioned glyph (reference LTChar, layout.py:222-278)."""
+
+    __slots__ = ("text", "size", "upright", "adv", "fontname", "matrix")
+
+    def __init__(self, bbox, text, size, upright, adv, fontname, matrix):
+        (self.x0, self.y0, self.x1, self.y1) = bbox
+        self.text = text
+        self.size = size
+        self.upright = upright
+        self.adv = adv
+        self.fontname = fontname
+        self.matrix = matrix
+
+    def get_text(self):
+        return self.text
+
+
+class Anno:
+    """Virtual char (inserted space/newline); no bbox."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text):
+        self.text = text
+
+    def get_text(self):
+        return self.text
+
+
+class Container(Item):
+    __slots__ = ("objs",)
+
+    def __init__(self):
+        super().__init__()
+        self.objs = []
+
+    def add(self, obj):
+        self.objs.append(obj)
+        if isinstance(obj, Item):
+            if obj.x0 < self.x0:
+                self.x0 = obj.x0
+            if obj.y0 < self.y0:
+                self.y0 = obj.y0
+            if obj.x1 > self.x1:
+                self.x1 = obj.x1
+            if obj.y1 > self.y1:
+                self.y1 = obj.y1
+
+    def get_text(self):
+        return "".join(o.get_text() for o in self.objs if hasattr(o, "get_text"))
+
+
+class TextLine(Container):
+    __slots__ = ("word_margin",)
+
+    def __init__(self, word_margin):
+        super().__init__()
+        self.word_margin = word_margin
+
+    def finish(self):
+        self.objs.append(Anno("\n"))
+
+
+class TextLineH(TextLine):
+    """Horizontal line; inserts word-gap spaces (reference layout.py:362-385)."""
+
+    __slots__ = ("_x1",)
+
+    def __init__(self, word_margin):
+        super().__init__(word_margin)
+        self._x1 = INF
+
+    def add_char(self, obj):
+        if self.word_margin:
+            margin = self.word_margin * max(obj.width, obj.height)
+            if self._x1 < obj.x0 - margin:
+                self.objs.append(Anno(" "))
+        self._x1 = obj.x1
+        self.add(obj)
+
+    def find_neighbors(self, plane, ratio):
+        d = ratio * self.height
+        hits = plane.find((self.x0, self.y0 - d, self.x1, self.y1 + d))
+        return [o for o in hits
+                if (isinstance(o, TextLineH)
+                    and abs(o.height - self.height) < d
+                    and (abs(o.x0 - self.x0) < d or abs(o.x1 - self.x1) < d))]
+
+
+class TextLineV(TextLine):
+    """Vertical line (reference layout.py:388-411)."""
+
+    __slots__ = ("_y0",)
+
+    def __init__(self, word_margin):
+        super().__init__(word_margin)
+        self._y0 = -INF
+
+    def add_char(self, obj):
+        if self.word_margin:
+            margin = self.word_margin * max(obj.width, obj.height)
+            if obj.y1 + margin < self._y0:
+                self.objs.append(Anno(" "))
+        self._y0 = obj.y0
+        self.add(obj)
+
+    def find_neighbors(self, plane, ratio):
+        d = ratio * self.width
+        hits = plane.find((self.x0 - d, self.y0, self.x1 + d, self.y1))
+        return [o for o in hits
+                if (isinstance(o, TextLineV)
+                    and abs(o.width - self.width) < d
+                    and (abs(o.y0 - self.y0) < d or abs(o.y1 - self.y1) < d))]
+
+
+class TextBox(Container):
+    __slots__ = ("index",)
+
+    def __init__(self):
+        super().__init__()
+        self.index = -1
+
+
+class TextBoxH(TextBox):
+    __slots__ = ()
+    wmode = "lr-tb"
+
+    def order_lines(self):
+        self.objs = _csort_idx(self.objs, key=lambda o: -o.y1)
+
+
+class TextBoxV(TextBox):
+    __slots__ = ()
+    wmode = "tb-rl"
+
+    def order_lines(self):
+        self.objs = _csort_idx(self.objs, key=lambda o: -o.x1)
+
+
+class TextGroup(Container):
+    __slots__ = ()
+
+    def __init__(self, objs):
+        super().__init__()
+        for o in objs:
+            self.add(o)
+
+
+class TextGroupLRTB(TextGroup):
+    __slots__ = ()
+
+    def order(self, boxes_flow):
+        self.objs = _csort_idx(
+            self.objs,
+            key=lambda o: (1 - boxes_flow) * o.x0 - (1 + boxes_flow) * (o.y0 + o.y1),
+        )
+
+
+class TextGroupTBRL(TextGroup):
+    __slots__ = ()
+
+    def order(self, boxes_flow):
+        self.objs = _csort_idx(
+            self.objs,
+            key=lambda o: -(1 + boxes_flow) * (o.x0 + o.x1) - (1 - boxes_flow) * o.y1,
+        )
+
+
+class Shape(Item):
+    """Stroked/filled path (LTLine/LTRect/LTCurve collapse to this record)."""
+
+    __slots__ = ("kind", "pts", "linewidth")
+
+    def __init__(self, kind, pts, linewidth):
+        x0 = y0 = INF
+        x1 = y1 = -INF
+        for (x, y) in pts:
+            x0 = min(x0, x)
+            y0 = min(y0, y)
+            x1 = max(x1, x)
+            y1 = max(y1, y)
+        super().__init__(x0, y0, x1, y1)
+        self.kind = kind
+        self.pts = pts
+        self.linewidth = linewidth
+
+
+class ImageItem(Item):
+    __slots__ = ("name", "srcsize", "bits")
+
+    def __init__(self, name, bbox, srcsize, bits):
+        (self.x0, self.y0, self.x1, self.y1) = bbox
+        self.name = name
+        self.srcsize = srcsize
+        self.bits = bits
+
+
+class Figure(Container):
+    """Form XObject container (reference LTFigure, layout.py:699-719)."""
+
+    __slots__ = ("name", "matrix", "_bbox_fixed")
+
+    def __init__(self, name, bbox, matrix):
+        super().__init__()
+        self.name = name
+        self.matrix = matrix
+        (x, y, w, h) = bbox
+        pts = [apply_matrix_pt(matrix, p) for p in
+               ((x, y), (x + w, y), (x, y + h), (x + w, y + h))]
+        self.x0 = min(p[0] for p in pts)
+        self.y0 = min(p[1] for p in pts)
+        self.x1 = max(p[0] for p in pts)
+        self.y1 = max(p[1] for p in pts)
+
+    def add(self, obj):
+        # figure bbox is fixed by its matrix, not expanded by children
+        self.objs.append(obj)
+
+
+class Page(Container):
+    __slots__ = ("pageid", "rotate", "groups")
+
+    def __init__(self, pageid, bbox, rotate=0):
+        super().__init__()
+        (self.x0, self.y0, self.x1, self.y1) = bbox
+        self.pageid = pageid
+        self.rotate = rotate
+        self.groups = None
+
+    def add(self, obj):
+        self.objs.append(obj)  # page bbox fixed by mediabox
+
+
+# -- matrix helpers (2x3 affine CTM; reference utils.py:54-84) ---------------
+
+MATRIX_IDENTITY = (1, 0, 0, 1, 0, 0)
+
+
+def mult_matrix(m1, m0):
+    (a1, b1, c1, d1, e1, f1) = m1
+    (a0, b0, c0, d0, e0, f0) = m0
+    return (a0 * a1 + c0 * b1, b0 * a1 + d0 * b1,
+            a0 * c1 + c0 * d1, b0 * c1 + d0 * d1,
+            a0 * e1 + c0 * f1 + e0, b0 * e1 + d0 * f1 + f0)
+
+
+def translate_matrix(m, v):
+    (a, b, c, d, e, f) = m
+    (x, y) = v
+    return (a, b, c, d, x * a + y * c + e, x * b + y * d + f)
+
+
+def apply_matrix_pt(m, v):
+    (a, b, c, d, e, f) = m
+    (x, y) = v
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+# -- grid-hash spatial index (reference Plane, utils.py:254-333) --------------
+
+class Plane:
+    __slots__ = ("_seq", "_objs", "_grid", "gridsize", "x0", "y0", "x1", "y1")
+
+    def __init__(self, bbox, gridsize=50):
+        self._seq = []
+        self._objs = set()
+        self._grid: dict = {}
+        self.gridsize = gridsize
+        (self.x0, self.y0, self.x1, self.y1) = bbox
+
+    def __iter__(self):
+        return (o for o in self._seq if id(o) in self._objs)
+
+    def __len__(self):
+        return len(self._objs)
+
+    def __contains__(self, obj):
+        return id(obj) in self._objs
+
+    def _cells(self, bbox):
+        (x0, y0, x1, y1) = bbox
+        if x1 <= self.x0 or self.x1 <= x0 or y1 <= self.y0 or self.y1 <= y0:
+            return
+        x0 = max(self.x0, x0)
+        y0 = max(self.y0, y0)
+        x1 = min(self.x1, x1)
+        y1 = min(self.y1, y1)
+        g = self.gridsize
+        for gy in range(int(y0) // g, int(y1 + g) // g):
+            for gx in range(int(x0) // g, int(x1 + g) // g):
+                yield (gx, gy)
+
+    def extend(self, objs):
+        for o in objs:
+            self.add(o)
+
+    def add(self, obj):
+        for k in self._cells(obj.bbox):
+            self._grid.setdefault(k, []).append(obj)
+        self._seq.append(obj)
+        self._objs.add(id(obj))
+
+    def remove(self, obj):
+        for k in self._cells(obj.bbox):
+            try:
+                self._grid[k].remove(obj)
+            except (KeyError, ValueError):
+                pass
+        self._objs.discard(id(obj))
+
+    def find(self, bbox):
+        (x0, y0, x1, y1) = bbox
+        done = set()
+        for k in self._cells(bbox):
+            cell = self._grid.get(k)
+            if not cell:
+                continue
+            for obj in cell:
+                if id(obj) in done:
+                    continue
+                done.add(id(obj))
+                if obj.x1 <= x0 or x1 <= obj.x0 or obj.y1 <= y0 or y1 <= obj.y0:
+                    continue
+                yield obj
+
+
+# -- chars -> lines (reference group_objects, layout.py:496-565) --------------
+
+def group_chars_to_lines(laparams: LAParams, chars: list) -> list:
+    """Sequential clustering of the emission-ordered char stream."""
+    lines = []
+    obj0 = None
+    line = None
+    lo = laparams.line_overlap
+    cm = laparams.char_margin
+    wm = laparams.word_margin
+    dv = laparams.detect_vertical
+    for obj1 in chars:
+        if obj0 is not None:
+            halign = (obj0.is_voverlap(obj1)
+                      and min(obj0.height, obj1.height) * lo < obj0.voverlap(obj1)
+                      and obj0.hdistance(obj1) < max(obj0.width, obj1.width) * cm)
+            valign = (dv
+                      and obj0.is_hoverlap(obj1)
+                      and min(obj0.width, obj1.width) * lo < obj0.hoverlap(obj1)
+                      and obj0.vdistance(obj1) < max(obj0.height, obj1.height) * cm)
+            if (halign and isinstance(line, TextLineH)) or \
+               (valign and isinstance(line, TextLineV)):
+                line.add_char(obj1)
+            elif line is not None:
+                lines.append(line)
+                line = None
+            else:
+                if valign and not halign:
+                    line = TextLineV(wm)
+                    line.add_char(obj0)
+                    line.add_char(obj1)
+                elif halign and not valign:
+                    line = TextLineH(wm)
+                    line.add_char(obj0)
+                    line.add_char(obj1)
+                else:
+                    line = TextLineH(wm)
+                    line.add_char(obj0)
+                    lines.append(line)
+                    line = None
+        obj0 = obj1
+    if line is None:
+        line = TextLineH(laparams.word_margin)
+        line.add_char(obj0)
+    lines.append(line)
+    return lines
+
+
+# -- lines -> boxes (reference group_textlines, layout.py:568-596) ------------
+
+def group_lines_to_boxes(laparams: LAParams, lines: list, page_bbox) -> list:
+    plane = Plane(page_bbox)
+    plane.extend(lines)
+    membership: dict[int, TextBox] = {}
+    for line in lines:
+        neighbors = line.find_neighbors(plane, laparams.line_margin)
+        if not any(o is line for o in neighbors):
+            continue
+        members = []
+        for obj1 in neighbors:
+            members.append(obj1)
+            if id(obj1) in membership:
+                prev_box = membership.pop(id(obj1))
+                # pop every member of the dissolved box exactly once
+                members.extend(prev_box.objs)
+                for o in prev_box.objs:
+                    membership.pop(id(o), None)
+        if isinstance(line, TextLineH):
+            box = TextBoxH()
+        else:
+            box = TextBoxV()
+        seen = set()
+        for obj in members:
+            if id(obj) in seen:
+                continue
+            seen.add(id(obj))
+            box.add(obj)
+            membership[id(obj)] = box
+        del box
+    out = []
+    done = set()
+    for line in lines:
+        box = membership.get(id(line))
+        if box is None:
+            continue
+        if id(box) in done:
+            continue
+        done.add(id(box))
+        if not box.is_empty():
+            out.append(box)
+    return out
+
+
+# -- boxes -> reading order (reference group_textboxes, layout.py:599-664) ----
+
+def _boxes_dist(o1, o2):
+    x0 = min(o1.x0, o2.x0)
+    y0 = min(o1.y0, o2.y0)
+    x1 = max(o1.x1, o2.x1)
+    y1 = max(o1.y1, o2.y1)
+    return ((x1 - x0) * (y1 - y0)
+            - (o1.x1 - o1.x0) * (o1.y1 - o1.y0)
+            - (o2.x1 - o2.x0) * (o2.y1 - o2.y0))
+
+
+def group_textboxes(boxes: list, page_bbox) -> list:
+    """Agglomerative min-distance merging into a binary group tree.
+
+    Preserves the reference's exact tie-breaking: the worklist is kept in
+    (penalty-class, distance, insertion-order) stable order.
+    """
+    assert boxes
+
+    def sort_dists(dists):
+        return _csort_idx(dists, key=lambda t: (t[0], t[1]))
+
+    dists = []
+    for i in range(len(boxes)):
+        o1 = boxes[i]
+        for j in range(i + 1, len(boxes)):
+            dists.append((0, _boxes_dist(o1, boxes[j]), o1, boxes[j]))
+    dists = sort_dists(dists)
+    plane = Plane(page_bbox)
+    plane.extend(boxes)
+
+    def isany(o1, o2):
+        x0 = min(o1.x0, o2.x0)
+        y0 = min(o1.y0, o2.y0)
+        x1 = max(o1.x1, o2.x1)
+        y1 = max(o1.y1, o2.y1)
+        hits = set(id(o) for o in plane.find((x0, y0, x1, y1)))
+        hits.discard(id(o1))
+        hits.discard(id(o2))
+        return bool(hits)
+
+    while dists:
+        (c, d, o1, o2) = dists.pop(0)
+        if c == 0 and isany(o1, o2):
+            dists.append((1, d, o1, o2))
+            continue
+        if (isinstance(o1, (TextBoxV, TextGroupTBRL))
+                or isinstance(o2, (TextBoxV, TextGroupTBRL))):
+            group = TextGroupTBRL([o1, o2])
+        else:
+            group = TextGroupLRTB([o1, o2])
+        plane.remove(o1)
+        plane.remove(o2)
+        dists = [t for t in dists if t[2] in plane and t[3] in plane]
+        for other in plane:
+            dists.append((0, _boxes_dist(group, other), group, other))
+        dists = sort_dists(dists)
+        plane.add(group)
+    return list(plane)
+
+
+def _assign_indices(group, counter):
+    for o in group.objs:
+        if isinstance(o, TextBox):
+            o.index = counter[0]
+            counter[0] += 1
+        elif isinstance(o, TextGroup):
+            _assign_indices(o, counter)
+
+
+def _analyze_group(group, boxes_flow):
+    for o in group.objs:
+        if isinstance(o, TextGroup):
+            _analyze_group(o, boxes_flow)
+    group.order(boxes_flow)
+
+
+# -- page analysis (reference LTLayoutContainer.analyze, layout.py:666-694) ---
+
+def analyze_container(container, laparams: LAParams) -> None:
+    """Analyze a Page or (when all_texts) Figure container in place.
+
+    After this, ``container.objs`` = ordered textboxes + other items +
+    empty lines, each textline terminated with a '\\n' Anno.
+    """
+    textobjs = []
+    otherobjs = []
+    for o in container.objs:
+        (textobjs if isinstance(o, Char) else otherobjs).append(o)
+    for o in otherobjs:
+        if isinstance(o, Figure) and laparams.all_texts:
+            analyze_container(o, laparams)
+    if not textobjs:
+        return
+    textlines = group_chars_to_lines(laparams, textobjs)
+    empties = [ln for ln in textlines if ln.is_empty()]
+    textlines = [ln for ln in textlines if not ln.is_empty()]
+    for ln in empties:
+        ln.finish()
+    textboxes = group_lines_to_boxes(laparams, textlines, container.bbox)
+    if -1 <= laparams.boxes_flow <= +1 and textboxes:
+        groups = group_textboxes(textboxes, container.bbox)
+        # finishing lines + ordering them within each box happens only on
+        # this path (reference: box.analyze is reached via group.analyze)
+        for box in textboxes:
+            for ln in box.objs:
+                ln.finish()
+            box.order_lines()
+        counter = [0]
+        for g in groups:
+            _analyze_group(g, laparams.boxes_flow)
+            _assign_indices(g, counter)
+        container.groups = groups
+        textboxes.sort(key=lambda b: b.index)
+    else:
+        def getkey(box):
+            if isinstance(box, TextBoxV):
+                return (0, -box.x1, box.y0)
+            return (1, box.y0, box.x0)
+
+        textboxes.sort(key=getkey)
+    container.objs = textboxes + otherobjs + empties
