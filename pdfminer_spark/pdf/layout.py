@@ -580,20 +580,23 @@ def group_textboxes(boxes: list, page_bbox) -> list:
     return list(plane)
 
 
-def _assign_indices(group, counter):
-    for o in group.objs:
-        if isinstance(o, TextBox):
-            o.index = counter[0]
-            counter[0] += 1
-        elif isinstance(o, TextGroup):
+def _assign_indices(obj, counter):
+    """DFS reading-order index assignment (reference IndexAssigner,
+    layout.py:15-28); handles a bare TextBox at the top level."""
+    if isinstance(obj, TextBox):
+        obj.index = counter[0]
+        counter[0] += 1
+    elif isinstance(obj, TextGroup):
+        for o in obj.objs:
             _assign_indices(o, counter)
 
 
-def _analyze_group(group, boxes_flow):
-    for o in group.objs:
-        if isinstance(o, TextGroup):
-            _analyze_group(o, boxes_flow)
-    group.order(boxes_flow)
+def _analyze_group(obj, boxes_flow):
+    if not isinstance(obj, TextGroup):
+        return
+    for o in obj.objs:
+        _analyze_group(o, boxes_flow)
+    obj.order(boxes_flow)
 
 
 # -- page analysis (reference LTLayoutContainer.analyze, layout.py:666-694) ---
