@@ -1,0 +1,181 @@
+"""HTML main-content extraction via DOM text/link-density heuristics.
+
+north_rule addition with no reference analog (SURVEY.md §7 phase 7): strip
+navigation/header/footer/aside chrome from HTML payloads, keeping the main
+content blocks. Boilerpipe-style block classification on two signals:
+
+- link density: fraction of a block's text that sits inside <a> tags —
+  navigation and footers are link-dense;
+- text density: words per block — boilerplate blocks are short.
+
+Pure stdlib (html.parser); deterministic; vectorized over turns by the
+Spark layer (one call per payload inside an Arrow batch).
+"""
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# elements that start a new text block
+_BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "td", "th", "li", "dd", "dt",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "figcaption",
+    "tr", "table", "ul", "ol", "br", "hr", "form",
+}
+# subtrees dropped entirely
+_DROP_TAGS = {"script", "style", "noscript", "svg", "template", "head",
+              "iframe", "object", "embed"}
+# subtrees that are boilerplate by construction
+_CHROME_TAGS = {"nav", "header", "footer", "aside"}
+_CHROME_HINT = re.compile(
+    r"(?:^|[-_ ])(nav|menu|footer|header|sidebar|breadcrumb|banner|advert|"
+    r"ads?|cookie|social|share|comment)(?:$|[-_ ])", re.I)
+
+_WS = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("words", "link_words", "in_chrome", "tags")
+
+    def __init__(self, in_chrome: int):
+        self.words: list[str] = []
+        self.link_words = 0
+        self.in_chrome = in_chrome
+        self.tags = 0
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block(0)
+        self._drop_depth = 0
+        self._chrome_depth = 0
+        self._chrome_stack: list[str] = []  # tag names that opened chrome
+        self._link_depth = 0
+        self._title_done = False
+        self.title: str | None = None
+        self._in_title = False
+
+    def _flush(self):
+        if self._cur.words:
+            self.blocks.append(self._cur)
+        self._cur = _Block(self._chrome_depth)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        is_chrome = tag in _CHROME_TAGS
+        if not is_chrome:
+            attr_text = " ".join(v or "" for (k, v) in attrs
+                                 if k in ("class", "id", "role"))
+            if attr_text and _CHROME_HINT.search(attr_text):
+                is_chrome = True
+        if is_chrome:
+            self._flush()
+            self._chrome_stack.append([tag, 0])
+            self._chrome_depth = len(self._chrome_stack)
+            self._cur.in_chrome = self._chrome_depth
+            return
+        # same-named tag nested inside an open chrome subtree: count it so
+        # its end tag doesn't close the chrome entry early
+        for entry in reversed(self._chrome_stack):
+            if entry[0] == tag:
+                entry[1] += 1
+                break
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        self._cur.tags += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        for i in range(len(self._chrome_stack) - 1, -1, -1):
+            if self._chrome_stack[i][0] == tag:
+                if self._chrome_stack[i][1] > 0:
+                    self._chrome_stack[i][1] -= 1
+                    break
+                self._flush()
+                del self._chrome_stack[i]
+                self._chrome_depth = len(self._chrome_stack)
+                self._cur.in_chrome = self._chrome_depth
+                return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._in_title and not self._title_done:
+            t = _WS.sub(" ", data).strip()
+            if t:
+                self.title = t
+                self._title_done = True
+            return
+        words = data.split()
+        if not words:
+            return
+        self._cur.words.extend(words)
+        if self._link_depth:
+            self._cur.link_words += len(words)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_main_text(html: str, max_link_density: float = 0.5,
+                      min_words: int = 3) -> str:
+    """Main-content text: blocks that are not chrome, not link-dense, and
+    not trivially short. Short low-link blocks adjacent to kept content
+    are kept too (caption/heading continuation rule)."""
+    parser = _BlockParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # malformed HTML: degrade to tag-stripped text
+        return _WS.sub(" ", re.sub(r"<[^>]*>", " ", html)).strip()
+    blocks = parser.blocks
+    n = len(blocks)
+    keep = [False] * n
+    for (i, b) in enumerate(blocks):
+        if b.in_chrome:
+            continue
+        nw = len(b.words)
+        if nw == 0:
+            continue
+        link_density = b.link_words / nw
+        if link_density > max_link_density:
+            continue
+        if nw >= min_words:
+            keep[i] = True
+    # continuation rule: short clean blocks between kept neighbors survive
+    for (i, b) in enumerate(blocks):
+        if keep[i] or b.in_chrome or not b.words:
+            continue
+        if b.link_words:
+            continue
+        prev_kept = i > 0 and keep[i - 1]
+        next_kept = i + 1 < n and keep[i + 1]
+        if prev_kept or next_kept:
+            keep[i] = True
+    out = [" ".join(b.words) for (i, b) in enumerate(blocks) if keep[i]]
+    if not out:
+        # tiny/threshold-starved documents: all non-chrome, non-link-dense text
+        out = [" ".join(b.words) for b in blocks
+               if b.words and not b.in_chrome
+               and b.link_words / len(b.words) <= max_link_density]
+    return "\n".join(out)

@@ -1,0 +1,151 @@
+"""The extraction pipeline: transcripts DataFrame -> extracted DataFrame.
+
+Stage plan (SURVEY.md §3.1 "Spark lifecycle"):
+
+  scan -> salted repartition on conv_id  [shuffle #1, skew defuse]
+       -> mapInPandas(extract)           [the only JVM<->Python crossing]
+       -> window over (conv_id, turn_idx) for stable turn ordering
+          (applied by assemble_conversations / validate joins)
+
+Extraction is per-turn independent, so salting by hash(turn_idx) is safe;
+ordering is restored downstream by the window. Per-turn failures become a
+``status`` column instead of task failures (one poison payload must not
+kill a 10^12-turn job).
+"""
+from __future__ import annotations
+
+import base64
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("n_boxes", T.IntegerType()),
+    T.StructField("bytes_decoded", T.LongType()),
+    T.StructField("status", T.StringType()),
+])
+
+EXTRACTED_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, tool string, text string, "
+    "n_pages int, n_boxes int, bytes_decoded long, status string"
+)
+
+
+def extract_one(text: str, tool: str, page_numbers=None,
+                detect_vertical: bool = True) -> tuple[str, int, int, int, str]:
+    """Extract one turn payload -> (text, n_pages, n_boxes, bytes, status).
+
+    Importable without pyspark (reused by tests and the DuckDB oracle)."""
+    from pdfminer_spark.html.boilerplate import extract_main_text
+    from pdfminer_spark.pdf.extract import extract_pages, render_text
+    from pdfminer_spark.pdf.layout import LAParams, TextBox
+
+    try:
+        if tool == "pdf":
+            data = base64.b64decode(text)
+            la = LAParams(detect_vertical=detect_vertical)
+            pages = extract_pages(data, page_numbers=page_numbers,
+                                  laparams=la, collect_shapes=False)
+            out: list[str] = []
+            n_boxes = 0
+            for page in pages:
+                render_text(page, out)
+                out.append("\f")
+                n_boxes += sum(isinstance(o, TextBox) for o in page.objs)
+            return ("".join(out), len(pages), n_boxes, len(data), "ok")
+        if tool == "html":
+            main = extract_main_text(text)
+            return (main, 0, 0, len(text.encode("utf-8")), "ok")
+        return (text, 0, 0, len(text.encode("utf-8")), "ok")
+    except Exception as exc:  # poison payload -> status, not task failure
+        return ("", 0, 0, 0, "error:%s" % type(exc).__name__)
+
+
+def _extract_map_batches(page_numbers, detect_vertical):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [
+                extract_one(text, tool, page_numbers, detect_vertical)
+                for (text, tool) in zip(pdf["text"], pdf["tool"])
+            ]
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "tool": pdf["tool"],
+                "text": [r[0] for r in results],
+                "n_pages": pd.Series([r[1] for r in results], dtype="int32"),
+                "n_boxes": pd.Series([r[2] for r in results], dtype="int32"),
+                "bytes_decoded": pd.Series([r[3] for r in results], dtype="int64"),
+                "status": [r[4] for r in results],
+            })
+
+    return fn
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None,
+                       salt: int = 16) -> DataFrame:
+    """Spread giant conversations across ``salt`` buckets (SURVEY.md §4).
+
+    AQE's skew handling only splits join/shuffle stages, not the UDF
+    fan-out from one huge conv_id — hence the explicit salt column."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt))
+    )
+    if num_partitions:
+        salted = salted.repartition(num_partitions, "conv_id", "_salt")
+    else:
+        salted = salted.repartition("conv_id", "_salt")
+    return salted.drop("_salt")
+
+
+def extract_transcripts(df: DataFrame, page_numbers=None,
+                        detect_vertical: bool = True,
+                        num_partitions: int | None = None,
+                        salt: int = 16,
+                        repartition: bool = True) -> DataFrame:
+    """transcripts -> extracted. One mapInPandas stage, Arrow-batched."""
+    src = salted_repartition(df, num_partitions, salt) if repartition else df
+    return src.mapInPandas(
+        _extract_map_batches(page_numbers, detect_vertical),
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+def with_turn_order(extracted: DataFrame) -> DataFrame:
+    """Stable turn ordering: row_number over (conv_id, turn_idx)
+    (north_rule window requirement)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return extracted.withColumn("turn_rank", F.row_number().over(w))
+
+
+def assemble_conversations(extracted: DataFrame) -> DataFrame:
+    """Per-conversation document: turn texts concatenated in turn order.
+
+    Single shuffle: groupBy conv_id with an array_sort over
+    (turn_idx, text) structs — no separate window pass needed."""
+    return (
+        extracted
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "text"))
+            ).alias("_turns"),
+            F.count("*").alias("n_turns"),
+            F.sum("bytes_decoded").alias("bytes_decoded"),
+        )
+        .withColumn(
+            "doc_text",
+            F.array_join(F.transform("_turns", lambda s: s["text"]), "\n"),
+        )
+        .drop("_turns")
+    )

@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Key settings (rationale — SURVEY.md §4 "physical execution"):
+- Arrow exchange on: all heavy work crosses JVM->Python once per batch;
+- arrow.maxRecordsPerBatch bounded: payload cells can be MBs, so batch
+  size controls executor/Python-worker memory, not row count alone;
+- AQE on: runtime coalescing + skew-join splitting for the relational ops;
+- shuffle.partitions sized for local runs (cluster deployments override).
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pdfminer-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch: int = 256) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    return builder.getOrCreate()
