@@ -1,0 +1,137 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant is the path that survives 100 TB (candidates come from a bucket
+join instead of a full cross product). Vector math stays JVM-side via
+higher-order functions (zip_with / aggregate) — no Python UDFs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 by cosine similarity to the vec_id=0 query vector.
+
+    Scale: the query vector is a broadcast (literal) single row —
+    crossJoin(broadcast) keeps the big side unshuffled; top-k executes as
+    TakeOrderedAndProject (per-partition heap, driver merge)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb")))
+    return (
+        joined.select("vec_id", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(25)
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-duplicate detection: cosine > 0.2 among all pairs
+    (brute force at test scale; the honest baseline the LSH variant is
+    judged against)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+                 F.col("label").alias("label_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+                 F.col("label").alias("label_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"),
+                "label_a", "label_b")
+        .where(F.col("cosine") > 0.2)
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: each vector keyed by the sign pattern of 8
+    deterministic pseudo-random projections (seeded by dimension index).
+
+    Scale path for ANN: bucket-join candidates instead of the O(n^2)
+    cross product; the projection matrix derives from xxhash64 so every
+    executor computes it identically with no broadcast needed.
+    (rows-only check: no portable SQL analog for the projection)."""
+    e = _emb(spark, sf_dir)
+    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    bits = []
+    for plane in range(8):
+        # pseudo-random +-1 weights from a hash of (plane, dim)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), dim_idx,
+                lambda x, i: x.cast("double")
+                * (F.when(F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)) == 0,
+                          1.0).otherwise(-1.0)),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket * 2 + b
+    sigs = e.select("vec_id", "label", bucket.alias("bucket"))
+    return (
+        sigs.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"),
+             F.min("vec_id").alias("min_vec_id"),
+             F.max("vec_id").alias("max_vec_id"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "ann_cosine_topk": """
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], q_emb::DOUBLE[]) /
+                     (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                      SQRT(LIST_DOT_PRODUCT(q_emb::DOUBLE[], q_emb::DOUBLE[]))), 4)
+                 AS cosine
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT 25
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+                 AS cosine,
+               a.label AS label_a, b.label AS label_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                    (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                     SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+              > 0.2
+    """,
+}
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_near_dups": embedding_near_dups,
+    "ann_lsh_buckets": ann_lsh_buckets,  # rows-only
+}

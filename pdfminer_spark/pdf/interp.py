@@ -538,7 +538,8 @@ class Interpreter:
             self.cur_item = self._fig_stack.pop()
             self.cur_item.add(fig)
         elif literal_name(subtype) == "Image" and "Width" in xobj and "Height" in xobj:
-            fig = Figure(xobjid, (0, 0, 1, 1), MATRIX_IDENTITY)
+            # figure bbox = the unit square through the current CTM
+            fig = Figure(xobjid, (0, 0, 1, 1), self.ctm)
             fig.add(ImageItem(
                 xobjid, fig.bbox,
                 (resolve1(xobj.get("Width")), resolve1(xobj.get("Height"))),
@@ -548,7 +549,7 @@ class Interpreter:
     def op_EI(self, obj):
         if isinstance(obj, Stream) and "W" in obj and "H" in obj:
             name = str(id(obj))
-            fig = Figure(name, (0, 0, 1, 1), MATRIX_IDENTITY)
+            fig = Figure(name, (0, 0, 1, 1), self.ctm)
             fig.add(ImageItem(name, fig.bbox,
                               (obj.get_any(("W", "Width")),
                                obj.get_any(("H", "Height"))),
