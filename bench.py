@@ -22,32 +22,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# transcripts size scales with the sf dir so the bench saturates the cores
-_SF_TURNS = {"sf0.001": (30, 60), "sf0.01": (60, 120), "sf0.1": (220, 400)}
+# transcripts row count per sf dir; identical input at every parallelism
+# level (the scaling comparison runs the SAME job on the SAME table)
+_SF_TURNS = {"sf0.001": 400, "sf0.01": 1200, "sf0.1": 4000}
 
 
-def _bench_params() -> tuple[int, int]:
+def _bench_turns() -> int:
     name = os.path.basename(os.path.normpath(SF_DIR))
-    return _SF_TURNS.get(name, (220, 400))
+    return _SF_TURNS.get(name, 4000)
 
 
-def build_bench_transcripts(spark):
-    from pdfminer_spark.spark.fixtures import build_transcripts
+def build_bench_transcripts(spark, cpus: int):
+    from pdfminer_spark.spark.fixtures import build_transcripts_scaled
 
-    (n_convs, giant) = _bench_params()
-    return build_transcripts(spark, n_convs=n_convs, giant_conv_turns=giant,
-                             num_partitions=CPUS * 2)
+    return build_transcripts_scaled(spark, n_turns=_bench_turns(),
+                                    num_partitions=cpus * 4)
 
 
-def run_extraction(spark) -> tuple[float, int]:
-    """Returns (seconds, n_turns)."""
+def run_extraction(spark, cpus: int) -> tuple[float, int]:
+    """Steady-state turns/sec: a small warmup pass first (python workers
+    fork + load font/CMap resources once per executor — amortized to zero
+    on a 10^12-turn job), then the timed full pass. Returns (sec, n)."""
+    from pdfminer_spark.spark.fixtures import build_transcripts_scaled
     from pdfminer_spark.spark.pipeline import extract_transcripts
 
-    df = build_bench_transcripts(spark).cache()
+    warm = build_transcripts_scaled(spark, n_turns=cpus * 4,
+                                    num_partitions=cpus)
+    extract_transcripts(warm, page_numbers=[0], salt=4,
+                        num_partitions=cpus).count()
+    df = build_bench_transcripts(spark, cpus).cache()
     n = df.count()  # materialize input outside the timed section
     t0 = time.time()
     out = extract_transcripts(df, page_numbers=[0], salt=16,
-                              num_partitions=CPUS * 2)
+                              num_partitions=cpus * 4)
     n_out = out.count()
     dt = time.time() - t0
     assert n_out == n
@@ -86,11 +93,13 @@ def fresh_session(cpus: int):
 
 
 def main() -> None:
-    scaling = "--scaling" in sys.argv
+    # scaling probes run by default (disable with --no-scaling): the
+    # efficiency number is part of the round record
+    scaling = "--no-scaling" not in sys.argv
     result: dict = {"sf": SF_DIR, "unit": "sec"}
 
     spark = fresh_session(CPUS)
-    (extract_s, n_turns) = run_extraction(spark)
+    (extract_s, n_turns) = run_extraction(spark, CPUS)
     queries = run_headline_queries(spark)
     queries["extract_turns"] = round(extract_s, 3)
     tps = n_turns / extract_s if extract_s else 0.0
@@ -102,25 +111,32 @@ def main() -> None:
         "queries": queries,
     })
 
+    spark.stop()
+
     if scaling:
-        lo_cpus = max(CPUS // 4, 1)
-        spark_lo = fresh_session(lo_cpus)
-        (lo_s, n_lo) = run_extraction(spark_lo)
-        tps_lo = n_lo / lo_s if lo_s else 0.0
-        spark_hi = fresh_session(CPUS)
-        (hi_s, n_hi) = run_extraction(spark_hi)
-        tps_hi = n_hi / hi_s if hi_s else 0.0
-        eff = tps_hi / (4.0 * tps_lo) if tps_lo else 0.0
+        # isolated subprocesses: one fresh JVM per parallelism level
+        # (same-JVM session reuse contaminates the second measurement)
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        probe = os.path.join(here, "tools", "scaling_probe.py")
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        scale_turns = min(_bench_turns(), 1600)
+        levels = {}
+        for cpus in (n_lo, n_lo * 4):
+            out = subprocess.run(
+                ["python3", probe, str(cpus), str(scale_turns)],
+                capture_output=True, text=True, timeout=1800)
+            levels[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        tps_lo = levels[n_lo]["tps"]
+        tps_hi = levels[n_lo * 4]["tps"]
         result["scaling"] = {
-            "n_cpus": lo_cpus,
-            "turns_per_sec_n": round(tps_lo, 2),
-            "4n_cpus": CPUS,
-            "turns_per_sec_4n": round(tps_hi, 2),
-            "efficiency": round(eff, 3),
+            "n_cpus": n_lo,
+            "turns_per_sec_n": tps_lo,
+            "4n_cpus": n_lo * 4,
+            "turns_per_sec_4n": tps_hi,
+            "efficiency": round(tps_hi / (4.0 * tps_lo), 3) if tps_lo else 0.0,
         }
-        spark_hi.stop()
-    else:
-        spark.stop()
 
     print(json.dumps(result))
 

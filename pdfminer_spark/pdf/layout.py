@@ -533,37 +533,69 @@ def _boxes_dist(o1, o2):
 def group_textboxes(boxes: list, page_bbox) -> list:
     """Agglomerative min-distance merging into a binary group tree.
 
-    Preserves the reference's exact tie-breaking: the worklist is kept in
-    (penalty-class, distance, insertion-order) stable order.
+    The reference keeps a list it re-sorts by (penalty-class, distance,
+    list-position) after every merge and filters dead pairs eagerly
+    (layout.py:634-662, its own "XXX O(n^2)" hotspot). A lazy-deletion
+    heap keyed (c, d, insertion-seq) pops pairs in the IDENTICAL order —
+    stable-sort position equals insertion sequence, appends get fresh
+    sequence numbers, dead pairs are skipped at pop — while dropping the
+    per-merge O(k log k) re-sort + O(k) rebuild to amortized O(log k).
+    Golden XML layout sections pin the equivalence.
     """
+    import heapq
+
     assert boxes
-
-    def sort_dists(dists):
-        return _csort_idx(dists, key=lambda t: (t[0], t[1]))
-
-    dists = []
-    for i in range(len(boxes)):
-        o1 = boxes[i]
-        for j in range(i + 1, len(boxes)):
-            dists.append((0, _boxes_dist(o1, boxes[j]), o1, boxes[j]))
-    dists = sort_dists(dists)
     plane = Plane(page_bbox)
     plane.extend(boxes)
 
     def isany(o1, o2):
+        # any third object inside the union bbox? (short-circuit scan)
         x0 = min(o1.x0, o2.x0)
         y0 = min(o1.y0, o2.y0)
         x1 = max(o1.x1, o2.x1)
         y1 = max(o1.y1, o2.y1)
-        hits = set(id(o) for o in plane.find((x0, y0, x1, y1)))
-        hits.discard(id(o1))
-        hits.discard(id(o2))
-        return bool(hits)
+        for o in plane.find((x0, y0, x1, y1)):
+            if o is not o1 and o is not o2:
+                return True
+        return False
 
-    while dists:
-        (c, d, o1, o2) = dists.pop(0)
+    # `heap` models the list portion sorted at the last merge (popped in
+    # (c, d, seq) order — seq reproduces the stable-sort tiebreak);
+    # `tail` models entries appended since then (demotions), consumed
+    # FIFO only after the sorted portion drains, exactly like pop(0) on
+    # the reference's partially-sorted list. A merge re-sorts everything
+    # in the reference == flushing the tail into the heap here.
+    heap: list = []
+    tail: list = []
+    seq = 0
+    for i in range(len(boxes)):
+        o1 = boxes[i]
+        for j in range(i + 1, len(boxes)):
+            heap.append((0, _boxes_dist(o1, boxes[j]), seq, o1, boxes[j]))
+            seq += 1
+    heapq.heapify(heap)
+    tail_pos = 0
+    while True:
+        # next live entry: sorted portion first, then the FIFO tail
+        entry = None
+        while heap:
+            cand = heapq.heappop(heap)
+            if cand[3] in plane and cand[4] in plane:
+                entry = cand
+                break
+        if entry is None:
+            while tail_pos < len(tail):
+                cand = tail[tail_pos]
+                tail_pos += 1
+                if cand[3] in plane and cand[4] in plane:
+                    entry = cand
+                    break
+            if entry is None:
+                break
+        (c, d, _, o1, o2) = entry
         if c == 0 and isany(o1, o2):
-            dists.append((1, d, o1, o2))
+            tail.append((1, d, seq, o1, o2))
+            seq += 1
             continue
         if (isinstance(o1, (TextBoxV, TextGroupTBRL))
                 or isinstance(o2, (TextBoxV, TextGroupTBRL))):
@@ -572,10 +604,16 @@ def group_textboxes(boxes: list, page_bbox) -> list:
             group = TextGroupLRTB([o1, o2])
         plane.remove(o1)
         plane.remove(o2)
-        dists = [t for t in dists if t[2] in plane and t[3] in plane]
+        # the reference re-sorts the whole worklist here: flush the tail
+        # back into the sorted portion, then add the new group's pairs
+        for t in tail[tail_pos:]:
+            heapq.heappush(heap, t)
+        tail = []
+        tail_pos = 0
         for other in plane:
-            dists.append((0, _boxes_dist(group, other), group, other))
-        dists = sort_dists(dists)
+            heapq.heappush(heap, (0, _boxes_dist(group, other), seq,
+                                  group, other))
+            seq += 1
         plane.add(group)
     return list(plane)
 

@@ -16,7 +16,7 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "pdfminer-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch: int = 256) -> SparkSession:
+              arrow_batch: int = 64) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
