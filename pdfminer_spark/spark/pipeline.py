@@ -34,6 +34,21 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("status", T.StringType()),
 ])
 
+BOX_STRUCT = T.StructType([
+    T.StructField("box_id", T.IntegerType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+    T.StructField("wmode", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+EXTRACTED_WITH_BOXES_SCHEMA = T.StructType(
+    EXTRACTED_SCHEMA.fields + [T.StructField("boxes", T.ArrayType(BOX_STRUCT))]
+)
+
 EXTRACTED_SCHEMA_DDL = (
     "conv_id string, turn_idx int, role string, tool string, text string, "
     "n_pages int, n_boxes int, bytes_decoded long, status string"
@@ -41,14 +56,17 @@ EXTRACTED_SCHEMA_DDL = (
 
 
 def extract_one(text: str, tool: str, page_numbers=None,
-                detect_vertical: bool = True) -> tuple[str, int, int, int, str]:
-    """Extract one turn payload -> (text, n_pages, n_boxes, bytes, status).
+                detect_vertical: bool = True, with_boxes: bool = False):
+    """Extract one turn payload -> (text, n_pages, n_boxes, bytes, status
+    [, boxes]). ``boxes`` rows are (box_id, page, x0, y0, x1, y1, wmode,
+    text) in reading order — the span unit of the XML goldens.
 
     Importable without pyspark (reused by tests and the DuckDB oracle)."""
     from pdfminer_spark.html.boilerplate import extract_main_text
     from pdfminer_spark.pdf.extract import extract_pages, render_text
-    from pdfminer_spark.pdf.layout import LAParams, TextBox
+    from pdfminer_spark.pdf.layout import LAParams, TextBox, TextBoxV
 
+    boxes: list[tuple] = []
     try:
         if tool == "pdf":
             data = base64.b64decode(text)
@@ -57,27 +75,38 @@ def extract_one(text: str, tool: str, page_numbers=None,
                                   laparams=la, collect_shapes=False)
             out: list[str] = []
             n_boxes = 0
-            for page in pages:
+            for (pageno, page) in enumerate(pages):
                 render_text(page, out)
                 out.append("\f")
-                n_boxes += sum(isinstance(o, TextBox) for o in page.objs)
-            return ("".join(out), len(pages), n_boxes, len(data), "ok")
-        if tool == "html":
+                for o in page.objs:
+                    if isinstance(o, TextBox):
+                        n_boxes += 1
+                        if with_boxes:
+                            boxes.append((
+                                o.index, pageno, o.x0, o.y0, o.x1, o.y1,
+                                "tb-rl" if isinstance(o, TextBoxV) else "lr-tb",
+                                o.get_text()))
+            result = ("".join(out), len(pages), n_boxes, len(data), "ok")
+        elif tool == "html":
             main = extract_main_text(text)
-            return (main, 0, 0, len(text.encode("utf-8")), "ok")
-        return (text, 0, 0, len(text.encode("utf-8")), "ok")
+            result = (main, 0, 0, len(text.encode("utf-8")), "ok")
+        else:
+            result = (text, 0, 0, len(text.encode("utf-8")), "ok")
     except Exception as exc:  # poison payload -> status, not task failure
-        return ("", 0, 0, 0, "error:%s" % type(exc).__name__)
+        result = ("", 0, 0, 0, "error:%s" % type(exc).__name__)
+        boxes = []
+    return result + (boxes,) if with_boxes else result
 
 
-def _extract_map_batches(page_numbers, detect_vertical):
+def _extract_map_batches(page_numbers, detect_vertical, with_boxes=False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             results = [
-                extract_one(text, tool, page_numbers, detect_vertical)
+                extract_one(text, tool, page_numbers, detect_vertical,
+                            with_boxes)
                 for (text, tool) in zip(pdf["text"], pdf["tool"])
             ]
-            yield pd.DataFrame({
+            cols = {
                 "conv_id": pdf["conv_id"],
                 "turn_idx": pdf["turn_idx"],
                 "role": pdf["role"],
@@ -87,7 +116,10 @@ def _extract_map_batches(page_numbers, detect_vertical):
                 "n_boxes": pd.Series([r[2] for r in results], dtype="int32"),
                 "bytes_decoded": pd.Series([r[3] for r in results], dtype="int64"),
                 "status": [r[4] for r in results],
-            })
+            }
+            if with_boxes:
+                cols["boxes"] = [r[5] for r in results]
+            yield pd.DataFrame(cols)
 
     return fn
 
@@ -112,12 +144,14 @@ def extract_transcripts(df: DataFrame, page_numbers=None,
                         detect_vertical: bool = True,
                         num_partitions: int | None = None,
                         salt: int = 16,
-                        repartition: bool = True) -> DataFrame:
-    """transcripts -> extracted. One mapInPandas stage, Arrow-batched."""
+                        repartition: bool = True,
+                        with_boxes: bool = False) -> DataFrame:
+    """transcripts -> extracted. One mapInPandas stage, Arrow-batched.
+    ``with_boxes`` adds the layout-span array column (SURVEY.md §1.3)."""
     src = salted_repartition(df, num_partitions, salt) if repartition else df
     return src.mapInPandas(
-        _extract_map_batches(page_numbers, detect_vertical),
-        schema=EXTRACTED_SCHEMA,
+        _extract_map_batches(page_numbers, detect_vertical, with_boxes),
+        schema=EXTRACTED_WITH_BOXES_SCHEMA if with_boxes else EXTRACTED_SCHEMA,
     )
 
 
