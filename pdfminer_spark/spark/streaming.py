@@ -1,0 +1,76 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference is purely batch (SURVEY.md §2.8); this is the Spark-native
+continuous-ingest variant: new transcript files land in a directory (or a
+Kafka topic / Iceberg incremental scan in production), each micro-batch runs
+the identical extraction stage, and the sink commits with exactly-once
+semantics via the streaming checkpoint.
+
+Also provides a watermarked per-conversation turn-rate aggregation as the
+late-data/windowing example (event-time ``ts`` column).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures import TRANSCRIPTS_SCHEMA
+from .pipeline import extract_transcripts
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str,
+                           max_files_per_trigger: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def extraction_query(spark: SparkSession, input_path: str, output_path: str,
+                     checkpoint_path: str, page_numbers=None,
+                     available_now: bool = False):
+    """Streaming extraction: parquet-dir source -> mapInPandas -> parquet
+    sink, exactly-once via the checkpoint. Returns the StreamingQuery."""
+    stream = read_transcript_stream(spark, input_path)
+    extracted = extract_transcripts(stream, page_numbers=page_numbers,
+                                    repartition=False)
+    writer = (
+        extracted.writeStream
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def turn_rate_query(spark: SparkSession, input_path: str, output_path: str,
+                    checkpoint_path: str, window: str = "10 minutes",
+                    watermark: str = "30 minutes",
+                    available_now: bool = False):
+    """Watermarked event-time aggregation: turns per conversation per
+    window; late turns beyond the watermark are dropped (state bounded)."""
+    stream = read_transcript_stream(spark, input_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id", "n_turns",
+        )
+    )
+    writer = (
+        agg.writeStream
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
