@@ -427,24 +427,70 @@ class Plane:
 
 # -- chars -> lines (reference group_objects, layout.py:496-565) --------------
 
+def _pairwise_align(laparams: LAParams, chars: list):
+    """Vectorized halign/valign predicates for consecutive char pairs
+    (the inner predicates of reference group_objects, layout.py:501-538).
+
+    Returns (halign, valign) boolean arrays of length len(chars)-1; the
+    comparisons mirror the scalar formulas exactly (same FP operations),
+    evaluated with numpy over shifted coordinate arrays — the per-page
+    vectorization win called out in SURVEY.md §2.4.
+    """
+    import numpy as np
+
+    n = len(chars)
+    x0 = np.empty(n)
+    y0 = np.empty(n)
+    x1 = np.empty(n)
+    y1 = np.empty(n)
+    for (i, c) in enumerate(chars):
+        x0[i] = c.x0
+        y0[i] = c.y0
+        x1[i] = c.x1
+        y1[i] = c.y1
+    (ax0, ay0, ax1, ay1) = (x0[:-1], y0[:-1], x1[:-1], y1[:-1])
+    (bx0, by0, bx1, by1) = (x0[1:], y0[1:], x1[1:], y1[1:])
+    aw = ax1 - ax0
+    ah = ay1 - ay0
+    bw = bx1 - bx0
+    bh = by1 - by0
+    lo = laparams.line_overlap
+    cm = laparams.char_margin
+    # is_voverlap / voverlap / hdistance (reference utils semantics)
+    is_vov = (by0 <= ay1) & (ay0 <= by1)
+    vov = np.where(is_vov,
+                   np.minimum(np.abs(ay0 - by1), np.abs(ay1 - by0)), 0.0)
+    hdist = np.where((bx0 <= ax1) & (ax0 <= bx1), 0.0,
+                     np.minimum(np.abs(ax0 - bx1), np.abs(ax1 - bx0)))
+    halign = (is_vov
+              & (np.minimum(ah, bh) * lo < vov)
+              & (hdist < np.maximum(aw, bw) * cm))
+    if laparams.detect_vertical:
+        is_hov = (bx0 <= ax1) & (ax0 <= bx1)
+        hov = np.where(is_hov,
+                       np.minimum(np.abs(ax0 - bx1), np.abs(ax1 - bx0)), 0.0)
+        vdist = np.where(is_vov, 0.0,
+                         np.minimum(np.abs(ay0 - by1), np.abs(ay1 - by0)))
+        valign = (is_hov
+                  & (np.minimum(aw, bw) * lo < hov)
+                  & (vdist < np.maximum(ah, bh) * cm))
+    else:
+        valign = np.zeros(n - 1, dtype=bool)
+    return (halign, valign)
+
+
 def group_chars_to_lines(laparams: LAParams, chars: list) -> list:
     """Sequential clustering of the emission-ordered char stream."""
     lines = []
     obj0 = None
     line = None
-    lo = laparams.line_overlap
-    cm = laparams.char_margin
     wm = laparams.word_margin
-    dv = laparams.detect_vertical
-    for obj1 in chars:
+    (halign_arr, valign_arr) = _pairwise_align(laparams, chars) \
+        if len(chars) > 1 else ([], [])
+    for (idx, obj1) in enumerate(chars):
         if obj0 is not None:
-            halign = (obj0.is_voverlap(obj1)
-                      and min(obj0.height, obj1.height) * lo < obj0.voverlap(obj1)
-                      and obj0.hdistance(obj1) < max(obj0.width, obj1.width) * cm)
-            valign = (dv
-                      and obj0.is_hoverlap(obj1)
-                      and min(obj0.width, obj1.width) * lo < obj0.hoverlap(obj1)
-                      and obj0.vdistance(obj1) < max(obj0.height, obj1.height) * cm)
+            halign = halign_arr[idx - 1]
+            valign = valign_arr[idx - 1]
             if (halign and isinstance(line, TextLineH)) or \
                (valign and isinstance(line, TextLineV)):
                 line.add_char(obj1)
