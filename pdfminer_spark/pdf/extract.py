@@ -30,11 +30,17 @@ def open_pages(data: bytes, password: bytes = b"", page_numbers=None,
             break
 
 
+_DEFAULT_LA = object()
+
+
 def extract_pages(data: bytes, password: bytes = b"", page_numbers=None,
-                  maxpages: int = 0, laparams: LAParams | None = None,
+                  maxpages: int = 0, laparams=_DEFAULT_LA,
                   collect_shapes: bool = True) -> list[Page]:
-    """Parse + interpret + layout-analyze; returns Page layout trees."""
-    if laparams is None:
+    """Parse + interpret + layout-analyze; returns Page layout trees.
+
+    Pass ``laparams=None`` explicitly to skip layout analysis entirely
+    (the reference's ``-n`` flag: raw chars in emission order)."""
+    if laparams is _DEFAULT_LA:
         laparams = LAParams()
     rsrc = ResourceCache()
     interp = Interpreter(rsrc, laparams, collect_shapes=collect_shapes)
@@ -57,7 +63,7 @@ def render_text(item, out: list) -> None:
 
 
 def extract_text(data: bytes, password: bytes = b"", page_numbers=None,
-                 maxpages: int = 0, laparams: LAParams | None = None) -> str:
+                 maxpages: int = 0, laparams=_DEFAULT_LA) -> str:
     """Full text of the selected pages, golden-compatible with pdf2txt.py."""
     out: list[str] = []
     # shapes are never emitted as text: skip collecting them (the

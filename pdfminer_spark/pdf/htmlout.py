@@ -190,8 +190,11 @@ def pages_to_html(pages: list, **kwargs) -> str:
 
 
 def extract_html(data: bytes, password: bytes = b"", page_numbers=None,
-                 maxpages: int = 0, laparams=None, **kwargs) -> str:
-    from .extract import extract_pages
+                 maxpages: int = 0, laparams="__default__", **kwargs) -> str:
+    from .extract import _DEFAULT_LA, extract_pages
+
+    if laparams == "__default__":
+        laparams = _DEFAULT_LA
 
     pages = extract_pages(data, password=password, page_numbers=page_numbers,
                           maxpages=maxpages, laparams=laparams,

@@ -101,9 +101,12 @@ def pages_to_xml(pages: list, stripcontrol: bool = False) -> str:
 
 
 def extract_xml(data: bytes, password: bytes = b"", page_numbers=None,
-                maxpages: int = 0, laparams=None,
+                maxpages: int = 0, laparams="__default__",
                 stripcontrol: bool = False) -> str:
-    from .extract import extract_pages
+    from .extract import _DEFAULT_LA, extract_pages
+
+    if laparams == "__default__":
+        laparams = _DEFAULT_LA
 
     pages = extract_pages(data, password=password, page_numbers=page_numbers,
                           maxpages=maxpages, laparams=laparams,
