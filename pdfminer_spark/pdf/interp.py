@@ -211,29 +211,125 @@ class Interpreter:
         self.execute(data)
 
     def execute(self, data: bytes) -> None:
-        parser = ContentStreamParser(data)
-        dispatch = _DISPATCH
+        """Fused token loop: lexer -> array/dict composer -> operator
+        dispatch in one pass (no intermediate parser relay). Token and
+        composition semantics identical to ContentStreamParser; the
+        golden corpus pins the equivalence."""
+        from .lexer import Lexer, LexerEOF
+
+        dispatch = getattr(self, "_dispatch", None) or _DISPATCH
+        lexer = Lexer(data)
+        next_token = lexer.next_token
+        argstack = self.argstack
+        ctx: list = []          # (kind, saved_list) nesting for [ ] << >> { }
+        cur: list | None = None  # active composition buffer, None = top level
+        kinds: list = []
         while True:
             try:
-                (_, obj) = parser.next_object()
-            except ParserEOF:
+                (pos, obj) = next_token()
+            except LexerEOF:
                 break
             except Exception:
                 break
-            if isinstance(obj, Keyword):
-                entry = dispatch.get(bytes(obj))
+            if obj.__class__ is Keyword:
+                b = bytes(obj)
+                if b == b"[":
+                    ctx.append(cur)
+                    kinds.append("a")
+                    cur = []
+                    continue
+                if b == b"]":
+                    if kinds and kinds[-1] == "a":
+                        done = cur
+                        cur = ctx.pop()
+                        kinds.pop()
+                        (cur if cur is not None else argstack).append(done)
+                    continue
+                if b == b"<<":
+                    ctx.append(cur)
+                    kinds.append("d")
+                    cur = []
+                    continue
+                if b == b">>":
+                    if kinds and kinds[-1] == "d":
+                        items = cur
+                        cur = ctx.pop()
+                        kinds.pop()
+                        if len(items) % 2 == 0:
+                            d = {}
+                            for k in range(0, len(items), 2):
+                                if items[k + 1] is not None:
+                                    key = items[k]
+                                    d[key if isinstance(key, str)
+                                      else str(key)] = items[k + 1]
+                            (cur if cur is not None else argstack).append(d)
+                    continue
+                if b == b"{":
+                    ctx.append(cur)
+                    kinds.append("p")
+                    cur = []
+                    continue
+                if b == b"}":
+                    if kinds and kinds[-1] == "p":
+                        done = cur
+                        cur = ctx.pop()
+                        kinds.pop()
+                        (cur if cur is not None else argstack).append(done)
+                    continue
+                if b == b"BI":
+                    ctx.append(cur)
+                    kinds.append("i")
+                    cur = []
+                    continue
+                if b == b"ID" and kinds and kinds[-1] == "i":
+                    items = cur
+                    cur = ctx.pop()
+                    kinds.pop()
+                    if len(items) % 2 == 0:
+                        d = {}
+                        for k in range(0, len(items), 2):
+                            key = items[k]
+                            d[key if isinstance(key, str)
+                              else str(key)] = items[k + 1]
+                        start = pos + 3
+                        m = _EI_END.search(data, start)
+                        if m is None:
+                            img = data[start:]
+                            lexer.seek(len(data))
+                        else:
+                            img = data[start:m.start()]
+                            lexer.seek(m.end())
+                        self.op_EI(Stream(d, _TRAIL_EOL.sub(b"", img)))
+                    continue
+                if b == b"null":
+                    (cur if cur is not None else argstack).append(None)
+                    continue
+                if b == b"R":
+                    buf = cur if cur is not None else argstack
+                    if len(buf) >= 2:
+                        genno = buf.pop()
+                        objid = buf.pop()
+                        try:
+                            buf.append(ObjRef(None, int(objid)))
+                        except (TypeError, ValueError):
+                            pass
+                    continue
+                if cur is not None:
+                    cur.append(obj)  # keyword inside a composite: kept
+                    continue
+                entry = dispatch.get(b)
                 if entry is None:
                     continue
                 (nargs, fn) = entry
                 if nargs:
-                    args = self.argstack[-nargs:]
-                    del self.argstack[-nargs:]
+                    args = argstack[-nargs:]
+                    del argstack[-nargs:]
                     if len(args) == nargs:
                         fn(self, *args)
                 else:
                     fn(self)
             else:
-                self.argstack.append(obj)
+                (cur if cur is not None else argstack).append(obj)
 
     # -- graphics state ---------------------------------------------------------
     def op_q(self):
@@ -476,16 +572,31 @@ class Interpreter:
         ts.linematrix = (x, y)
 
     def _render_char(self, matrix, font, fontsize, scaling, rise, cid) -> float:
-        try:
-            text = font.to_unichr(cid)
-        except UnicodeNotDefined:
-            text = "(cid:%d)" % cid
-        textwidth = font.char_width(cid)
-        textdisp = font.char_disp(cid)
+        # per-font cid memo: (text, width, disp) are font-constant
+        memo = font.__dict__.get("_cid_memo")
+        if memo is None:
+            memo = font.__dict__["_cid_memo"] = {}
+        hit = memo.get(cid)
+        if hit is not None:
+            (text, textwidth, textdisp) = hit
+        else:
+            try:
+                text = font.to_unichr(cid)
+            except UnicodeNotDefined:
+                text = "(cid:%d)" % cid
+            textwidth = font.char_width(cid)
+            textdisp = font.char_disp(cid)
+            memo[cid] = (text, textwidth, textdisp)
         adv = textwidth * fontsize * scaling
+        geom = font.__dict__.get("_geom")
+        if geom is None:
+            geom = font.__dict__["_geom"] = (
+                font.get_width(), font.get_height(), font.get_descent(),
+                font.is_vertical())
+        (g_width, g_height, g_descent, vertical) = geom
         # glyph bbox (reference LTChar.__init__, layout.py:224-265)
-        if font.is_vertical():
-            width = font.get_width() * fontsize
+        if vertical:
+            width = g_width * fontsize
             (vx, vy) = textdisp
             if vx is None:
                 vx = width * 0.5
@@ -497,8 +608,8 @@ class Interpreter:
             bll = (tx, ty + adv)
             bur = (tx + width, ty)
         else:
-            height = font.get_height() * fontsize
-            descent = font.get_descent() * fontsize
+            height = g_height * fontsize
+            descent = g_descent * fontsize
             ty = descent + rise
             bll = (0, ty)
             bur = (adv, ty + height)
@@ -510,7 +621,7 @@ class Interpreter:
             (x0, x1) = (x1, x0)
         if y1 < y0:
             (y0, y1) = (y1, y0)
-        size = (x1 - x0) if font.is_vertical() else (y1 - y0)
+        size = (x1 - x0) if vertical else (y1 - y0)
         self.cur_item.add(Char((x0, y0, x1, y1), text, size, upright, adv,
                                font.fontname, matrix))
         return adv
