@@ -65,6 +65,19 @@ def extract_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("conv_id", "n_turns", "doc_text")
 
 
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: extraction -> exact dedup (keep-first) ->
+    quality gates. The whole tail is SQL-expressible, so this composition
+    gets a full DuckDB oracle."""
+    from pdfminer_spark.spark.curate import curate
+
+    extracted = extract_documents(spark, sf_dir).withColumn(
+        "status", F.lit("ok"))
+    out = curate(extracted, min_words=5, max_punct_ratio=0.3, min_chars=20)
+    return out.select("conv_id", "turn_idx", "n_chars", "n_words",
+                      "punct_ratio", "stop_ratio")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction (PDF corpus turns + HTML turns) at
     sf0.001; driver checks rows>0 and a stable schema."""
@@ -89,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.QUERIES)
     q["extract_documents"] = extract_documents
     q["extract_conversations"] = extract_conversations
+    q["curate_documents"] = curate_documents
     return q
 
 
@@ -108,5 +122,35 @@ def oracle_sql() -> dict[str, str]:
                text AS text,
                'ok' AS status
         FROM documents
+    """
+    o["curate_documents"] = """
+        WITH extracted AS (
+          SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx, text
+          FROM documents
+        ), deduped AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                       ORDER BY conv_id, turn_idx) AS rn
+          FROM extracted
+        ), feat AS (
+          SELECT conv_id, turn_idx, text,
+                 LENGTH(text) AS n_chars,
+                 LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                     '[^a-z0-9'']+'), x -> x <> '')) AS n_words,
+                 ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                     '[.,!?;:]', '', 'g')))::DOUBLE
+                     / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+                 ROUND(LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT_REGEX(
+                     LOWER(text), '[^a-z0-9'']+'), x -> x <> ''),
+                     x -> x IN ('the','and','of','to','a','in','is','it',
+                                'that','for')))::DOUBLE
+                     / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(
+                       LOWER(text), '[^a-z0-9'']+'), x -> x <> '')), 1), 6)
+                   AS stop_ratio
+          FROM deduped WHERE rn = 1
+        )
+        SELECT conv_id, turn_idx, n_chars, n_words, punct_ratio, stop_ratio
+        FROM feat
+        WHERE n_words >= 5 AND punct_ratio <= 0.3 AND n_chars >= 20
     """
     return o

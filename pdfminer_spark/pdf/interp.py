@@ -192,7 +192,10 @@ class Interpreter:
         (ax0, ay0) = apply_matrix_pt(ctm, (x0, y0))
         (ax1, ay1) = apply_matrix_pt(ctm, (x1, y1))
         mediabox = (0, 0, abs(ax0 - ax1), abs(ay0 - ay1))
-        ltpage = Page(self.pageno, mediabox, page.rotate)
+        # rotation is applied through the CTM; the layout page itself
+        # reports rotate=0 (reference quirk, converter.py:36-41 — the
+        # XML golden prints this attribute)
+        ltpage = Page(self.pageno, mediabox, 0)
         self.cur_item = ltpage
         self.render_contents(page.resources, page.contents, ctm)
         if self.laparams is not None:
@@ -659,7 +662,10 @@ class Interpreter:
 
     def op_EI(self, obj):
         if isinstance(obj, Stream) and "W" in obj and "H" in obj:
-            name = str(id(obj))
+            # deterministic name (the reference uses id(obj), which is
+            # nondeterministic across runs — nothing depends on it)
+            self._inline_count = getattr(self, "_inline_count", 0) + 1
+            name = "inline-%d" % self._inline_count
             fig = Figure(name, (0, 0, 1, 1), self.ctm)
             fig.add(ImageItem(name, fig.bbox,
                               (obj.get_any(("W", "Width")),
