@@ -23,6 +23,7 @@ class TagInterpreter(Interpreter):
         super().__init__(rsrc, laparams=None, collect_shapes=False)
         self.out: list[str] = []
         self._tag_stack: list = []
+        self._dispatch = _TAG_DISPATCH  # consumed by Interpreter.execute
 
     # text: decoded unicode only (undefined cids skipped)
     def render_string(self, seq) -> None:
@@ -106,24 +107,13 @@ _TAG_DISPATCH.update({
 })
 
 
-class _TagInterpreterPatched(TagInterpreter):
-    def execute(self, data: bytes) -> None:
-        # same loop, tag-aware dispatch table
-        global_dispatch = _interp._DISPATCH
-        try:
-            _interp._DISPATCH = _TAG_DISPATCH
-            super().execute(data)
-        finally:
-            _interp._DISPATCH = global_dispatch
-
-
 def extract_tags(data: bytes, password: bytes = b"", page_numbers=None,
                  maxpages: int = 0) -> str:
     """Tagged-content stream of the document (TagExtractor analog)."""
     from .extract import open_pages
 
     rsrc = ResourceCache()
-    interp = _TagInterpreterPatched(rsrc)
+    interp = TagInterpreter(rsrc)
     for (pageno, page) in enumerate(
             open_pages(data, password=password, page_numbers=None)):
         if page_numbers is not None and pageno not in page_numbers:
