@@ -56,10 +56,14 @@ EXTRACTED_SCHEMA_DDL = (
 
 
 def extract_one(text: str, tool: str, page_numbers=None,
-                detect_vertical: bool = True, with_boxes: bool = False):
+                detect_vertical: bool = True, with_boxes: bool = False,
+                pdf_bytes: bytes | None = None):
     """Extract one turn payload -> (text, n_pages, n_boxes, bytes, status
     [, boxes]). ``boxes`` rows are (box_id, page, x0, y0, x1, y1, wmode,
     text) in reading order — the span unit of the XML goldens.
+
+    ``pdf_bytes``: pre-decoded payload (the pipeline unbase64s JVM-side
+    before the shuffle — 25% less shuffle/Arrow traffic than b64 text).
 
     Importable without pyspark (reused by tests and the DuckDB oracle)."""
     from pdfminer_spark.html.boilerplate import extract_main_text
@@ -69,7 +73,7 @@ def extract_one(text: str, tool: str, page_numbers=None,
     boxes: list[tuple] = []
     try:
         if tool == "pdf":
-            data = base64.b64decode(text)
+            data = pdf_bytes if pdf_bytes is not None else base64.b64decode(text)
             la = LAParams(detect_vertical=detect_vertical)
             pages = extract_pages(data, page_numbers=page_numbers,
                                   laparams=la, collect_shapes=False)
@@ -101,10 +105,12 @@ def extract_one(text: str, tool: str, page_numbers=None,
 def _extract_map_batches(page_numbers, detect_vertical, with_boxes=False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = pdf["_pdf"] if "_pdf" in pdf.columns else [None] * len(pdf)
             results = [
                 extract_one(text, tool, page_numbers, detect_vertical,
-                            with_boxes)
-                for (text, tool) in zip(pdf["text"], pdf["tool"])
+                            with_boxes,
+                            bytes(pb) if pb is not None else None)
+                for (text, tool, pb) in zip(pdf["text"], pdf["tool"], payloads)
             ]
             cols = {
                 "conv_id": pdf["conv_id"],
@@ -147,8 +153,23 @@ def extract_transcripts(df: DataFrame, page_numbers=None,
                         repartition: bool = True,
                         with_boxes: bool = False) -> DataFrame:
     """transcripts -> extracted. One mapInPandas stage, Arrow-batched.
-    ``with_boxes`` adds the layout-span array column (SURVEY.md §1.3)."""
-    src = salted_repartition(df, num_partitions, salt) if repartition else df
+    ``with_boxes`` adds the layout-span array column (SURVEY.md §1.3).
+
+    PDF payloads are unbase64'd JVM-side *before* the shuffle so the salt
+    repartition and the Arrow crossing carry binary (25% smaller than
+    base64 text)."""
+    # only well-formed base64 is decoded JVM-side (ANSI mode would fail
+    # the task on garbage); malformed payloads keep their text and fail
+    # soft inside the UDF (status column)
+    decodable = (F.col("tool") == "pdf") & F.col("text").rlike(
+        "^[A-Za-z0-9+/\\s]*={0,2}$")
+    prepared = df.withColumn(
+        "_pdf", F.when(decodable, F.unbase64(F.col("text")))
+    ).withColumn(
+        "text", F.when(decodable, F.lit("")).otherwise(F.col("text"))
+    )
+    src = (salted_repartition(prepared, num_partitions, salt)
+           if repartition else prepared)
     return src.mapInPandas(
         _extract_map_batches(page_numbers, detect_vertical, with_boxes),
         schema=EXTRACTED_WITH_BOXES_SCHEMA if with_boxes else EXTRACTED_SCHEMA,
