@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Property-based differential fuzzer: random-but-valid content streams,
+our engine vs the reference implementation, full text+XML comparison.
+
+Requires the reference checkout (read-only) on PYTHONPATH; used in-session
+for divergence hunting, not in CI.
+
+    python3 tools/diff_fuzz.py [iterations] [seed]
+"""
+from __future__ import annotations
+
+import io
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, "/root/repo/tools")
+
+from gen_testpdfs import FONT, basic  # noqa: E402
+
+WORDS = [b"alpha", b"beta", b"gamma", b"delta", b"Hello", b"World",
+         b"x", b"Y", b"(esc)", b"a b  c", b"mix3d t0kens", b"trailing "]
+
+
+def rand_content(rng: random.Random) -> bytes:
+    ops: list[bytes] = []
+    n_blocks = rng.randint(1, 6)
+    for _ in range(n_blocks):
+        ops.append(b"BT /F1 %d Tf" % rng.randint(4, 36))
+        x = rng.randint(0, 600)
+        y = rng.randint(0, 780)
+        ops.append(b"%d %d Td" % (x, y))
+        if rng.random() < 0.4:
+            ops.append(b"%d Tz" % rng.choice([50, 80, 100, 120, 200]))
+        if rng.random() < 0.3:
+            ops.append(b"%.1f Tc" % (rng.random() * 4))
+        if rng.random() < 0.3:
+            ops.append(b"%.1f Tw" % (rng.random() * 6))
+        if rng.random() < 0.3:
+            ops.append(b"%.1f Ts" % (rng.random() * 8 - 4))
+        if rng.random() < 0.3:
+            ops.append(b"%d TL" % rng.randint(8, 30))
+        n_shows = rng.randint(1, 8)
+        for _ in range(n_shows):
+            w = rng.choice(WORDS).replace(b"(", b"\\(").replace(b")", b"\\)")
+            kind = rng.random()
+            if kind < 0.4:
+                ops.append(b"(%s) Tj" % w)
+            elif kind < 0.6:
+                parts = b" ".join(
+                    b"(%s) %d" % (w, rng.randint(-3000, 1000))
+                    for _ in range(rng.randint(1, 4)))
+                ops.append(b"[ %s ] TJ" % parts)
+            elif kind < 0.75:
+                ops.append(b"(%s) '" % w)
+            elif kind < 0.85:
+                ops.append(b"%.1f %.1f (%s) \"" % (rng.random() * 4,
+                                                   rng.random() * 2, w))
+            else:
+                ops.append(b"T* (%s) Tj" % w)
+            if rng.random() < 0.4:
+                ops.append(b"%d %d Td" % (rng.randint(-50, 50),
+                                          rng.randint(-40, 0)))
+        ops.append(b"ET")
+        if rng.random() < 0.3:
+            ops.append(b"q %.2f 0 0 %.2f %d %d cm" %
+                       (0.5 + rng.random(), 0.5 + rng.random(),
+                        rng.randint(0, 100), rng.randint(0, 100)))
+            ops.append(b"BT /F1 8 Tf 0 0 Td (nested) Tj ET Q")
+        if rng.random() < 0.3:
+            (a, b) = (rng.randint(0, 500), rng.randint(0, 700))
+            ops.append(b"%d %d m %d %d l S" % (a, b, a + 50, b))
+    return b" ".join(ops)
+
+
+def ref_out(data: bytes, xml: bool):
+    from pdfminer.converter import TextConverter, XMLConverter
+    from pdfminer.layout import LAParams
+    from pdfminer.pdfinterp import PDFPageInterpreter, PDFResourceManager
+    from pdfminer.pdfpage import PDFPage
+
+    rsrc = PDFResourceManager()
+    out = io.StringIO()
+    cls = XMLConverter if xml else TextConverter
+    device = cls(rsrc, out, laparams=LAParams(detect_vertical=True))
+    interp = PDFPageInterpreter(rsrc, device)
+    for page in PDFPage.get_pages(io.BytesIO(data)):
+        interp.process_page(page)
+    device.close()
+    return out.getvalue()
+
+
+def main() -> int:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    from pdfminer_spark.pdf.extract import extract_text
+    from pdfminer_spark.pdf.layout import LAParams
+    from pdfminer_spark.pdf.xmlout import extract_xml
+
+    rng = random.Random(seed)
+    fails = 0
+    for i in range(iters):
+        rot = rng.choice([0, 0, 0, 90, 180, 270])
+        pdf = basic(rand_content(rng), rotate=rot)
+        la = LAParams(detect_vertical=True)
+        try:
+            mt = extract_text(pdf, laparams=la)
+            mx = extract_xml(pdf, laparams=la)
+        except Exception as e:
+            print(f"[{i}] OUR-ERROR {type(e).__name__}: {e}")
+            fails += 1
+            continue
+        rt = ref_out(pdf, False)
+        rx = ref_out(pdf, True)
+        if mt != rt or mx != rx:
+            fails += 1
+            print(f"[{i}] DIVERGENCE rot={rot}")
+            for (a, b, tag) in ((mt, rt, "text"), (mx, rx, "xml")):
+                if a != b:
+                    for j in range(min(len(a), len(b))):
+                        if a[j] != b[j]:
+                            print(f"  {tag} @{j}:")
+                            print("   got:", repr(a[max(0, j-50):j+50]))
+                            print("   ref:", repr(b[max(0, j-50):j+50]))
+                            break
+                    else:
+                        print(f"  {tag} length {len(a)} vs {len(b)}")
+            with open(f"/tmp/fuzz_fail_{i}.pdf", "wb") as fp:
+                fp.write(pdf)
+            if fails >= 5:
+                break
+    print(f"{iters} iterations, {fails} divergences")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
