@@ -24,7 +24,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # transcripts row count per sf dir; identical input at every parallelism
 # level (the scaling comparison runs the SAME job on the SAME table)
-_SF_TURNS = {"sf0.001": 400, "sf0.01": 1200, "sf0.1": 4000}
+_SF_TURNS = {"sf0.001": 400, "sf0.01": 1200, "sf0.1": 8000}
 
 
 def _bench_turns() -> int:

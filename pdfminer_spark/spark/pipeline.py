@@ -57,7 +57,7 @@ EXTRACTED_SCHEMA_DDL = (
 
 def extract_one(text: str, tool: str, page_numbers=None,
                 detect_vertical: bool = True, with_boxes: bool = False,
-                pdf_bytes: bytes | None = None):
+                pdf_bytes: bytes | None = None, fmt: str = "text"):
     """Extract one turn payload -> (text, n_pages, n_boxes, bytes, status
     [, boxes]). ``boxes`` rows are (box_id, page, x0, y0, x1, y1, wmode,
     text) in reading order — the span unit of the XML goldens.
@@ -76,12 +76,10 @@ def extract_one(text: str, tool: str, page_numbers=None,
             data = pdf_bytes if pdf_bytes is not None else base64.b64decode(text)
             la = LAParams(detect_vertical=detect_vertical)
             pages = extract_pages(data, page_numbers=page_numbers,
-                                  laparams=la, collect_shapes=False)
-            out: list[str] = []
+                                  laparams=la,
+                                  collect_shapes=(fmt != "text"))
             n_boxes = 0
             for (pageno, page) in enumerate(pages):
-                render_text(page, out)
-                out.append("\f")
                 for o in page.objs:
                     if isinstance(o, TextBox):
                         n_boxes += 1
@@ -90,7 +88,21 @@ def extract_one(text: str, tool: str, page_numbers=None,
                                 o.index, pageno, o.x0, o.y0, o.x1, o.y1,
                                 "tb-rl" if isinstance(o, TextBoxV) else "lr-tb",
                                 o.get_text()))
-            result = ("".join(out), len(pages), n_boxes, len(data), "ok")
+            if fmt == "xml":
+                from pdfminer_spark.pdf.xmlout import pages_to_xml
+
+                rendered = pages_to_xml(pages)
+            elif fmt == "html":
+                from pdfminer_spark.pdf.htmlout import pages_to_html
+
+                rendered = pages_to_html(pages)
+            else:
+                out: list[str] = []
+                for page in pages:
+                    render_text(page, out)
+                    out.append("\f")
+                rendered = "".join(out)
+            result = (rendered, len(pages), n_boxes, len(data), "ok")
         elif tool == "html":
             main = extract_main_text(text)
             result = (main, 0, 0, len(text.encode("utf-8")), "ok")
@@ -102,14 +114,15 @@ def extract_one(text: str, tool: str, page_numbers=None,
     return result + (boxes,) if with_boxes else result
 
 
-def _extract_map_batches(page_numbers, detect_vertical, with_boxes=False):
+def _extract_map_batches(page_numbers, detect_vertical, with_boxes=False,
+                         fmt="text"):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["_pdf"] if "_pdf" in pdf.columns else [None] * len(pdf)
             results = [
                 extract_one(text, tool, page_numbers, detect_vertical,
                             with_boxes,
-                            bytes(pb) if pb is not None else None)
+                            bytes(pb) if pb is not None else None, fmt)
                 for (text, tool, pb) in zip(pdf["text"], pdf["tool"], payloads)
             ]
             cols = {
@@ -151,9 +164,12 @@ def extract_transcripts(df: DataFrame, page_numbers=None,
                         num_partitions: int | None = None,
                         salt: int = 16,
                         repartition: bool = True,
-                        with_boxes: bool = False) -> DataFrame:
+                        with_boxes: bool = False,
+                        fmt: str = "text") -> DataFrame:
     """transcripts -> extracted. One mapInPandas stage, Arrow-batched.
-    ``with_boxes`` adds the layout-span array column (SURVEY.md §1.3).
+    ``with_boxes`` adds the layout-span array column (SURVEY.md §1.3);
+    ``fmt`` selects the rendered text column: 'text' | 'xml' | 'html'
+    (the reference's -t output modes, golden-identical).
 
     PDF payloads are unbase64'd JVM-side *before* the shuffle so the salt
     repartition and the Arrow crossing carry binary (25% smaller than
@@ -171,7 +187,7 @@ def extract_transcripts(df: DataFrame, page_numbers=None,
     src = (salted_repartition(prepared, num_partitions, salt)
            if repartition else prepared)
     return src.mapInPandas(
-        _extract_map_batches(page_numbers, detect_vertical, with_boxes),
+        _extract_map_batches(page_numbers, detect_vertical, with_boxes, fmt),
         schema=EXTRACTED_WITH_BOXES_SCHEMA if with_boxes else EXTRACTED_SCHEMA,
     )
 
