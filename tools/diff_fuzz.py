@@ -74,7 +74,28 @@ def rand_content(rng: random.Random) -> bytes:
     return b" ".join(ops)
 
 
-def ref_out(data: bytes, xml: bool):
+def rand_laparams(rng: random.Random) -> dict:
+    """Random layout knobs, including the out-of-range boxes_flow branch
+    and all_texts figure analysis."""
+    kw = {}
+    if rng.random() < 0.7:
+        kw["detect_vertical"] = True
+    if rng.random() < 0.4:
+        kw["char_margin"] = rng.choice([0.5, 1.0, 2.0, 4.0, 8.0])
+    if rng.random() < 0.4:
+        kw["line_margin"] = rng.choice([0.1, 0.3, 0.5, 1.0, 2.0])
+    if rng.random() < 0.4:
+        kw["word_margin"] = rng.choice([0.0, 0.05, 0.1, 0.5, 1.0])
+    if rng.random() < 0.4:
+        kw["line_overlap"] = rng.choice([0.1, 0.5, 0.9])
+    if rng.random() < 0.4:
+        kw["boxes_flow"] = rng.choice([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0, -3.0])
+    if rng.random() < 0.3:
+        kw["all_texts"] = True
+    return kw
+
+
+def ref_out(data: bytes, xml: bool, la_kwargs: dict | None = None):
     from pdfminer.converter import TextConverter, XMLConverter
     from pdfminer.layout import LAParams
     from pdfminer.pdfinterp import PDFPageInterpreter, PDFResourceManager
@@ -83,7 +104,9 @@ def ref_out(data: bytes, xml: bool):
     rsrc = PDFResourceManager()
     out = io.StringIO()
     cls = XMLConverter if xml else TextConverter
-    device = cls(rsrc, out, laparams=LAParams(detect_vertical=True))
+    if la_kwargs is None:
+        la_kwargs = {"detect_vertical": True}
+    device = cls(rsrc, out, laparams=LAParams(**la_kwargs))
     interp = PDFPageInterpreter(rsrc, device)
     for page in PDFPage.get_pages(io.BytesIO(data)):
         interp.process_page(page)
@@ -103,19 +126,20 @@ def main() -> int:
     for i in range(iters):
         rot = rng.choice([0, 0, 0, 90, 180, 270])
         pdf = basic(rand_content(rng), rotate=rot)
-        la = LAParams(detect_vertical=True)
+        la_kwargs = rand_laparams(rng)
+        la = LAParams(**la_kwargs)
         try:
             mt = extract_text(pdf, laparams=la)
             mx = extract_xml(pdf, laparams=la)
         except Exception as e:
-            print(f"[{i}] OUR-ERROR {type(e).__name__}: {e}")
+            print(f"[{i}] OUR-ERROR {type(e).__name__}: {e} la={la_kwargs}")
             fails += 1
             continue
-        rt = ref_out(pdf, False)
-        rx = ref_out(pdf, True)
+        rt = ref_out(pdf, False, la_kwargs)
+        rx = ref_out(pdf, True, la_kwargs)
         if mt != rt or mx != rx:
             fails += 1
-            print(f"[{i}] DIVERGENCE rot={rot}")
+            print(f"[{i}] DIVERGENCE rot={rot} la={la_kwargs}")
             for (a, b, tag) in ((mt, rt, "text"), (mx, rx, "xml")):
                 if a != b:
                     for j in range(min(len(a), len(b))):
