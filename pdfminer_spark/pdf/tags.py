@@ -170,6 +170,86 @@ def object_census(data: bytes, password: bytes = b"") -> list[dict]:
     return rows
 
 
+def lookup_name_tree(doc: PdfDocument, cat: str, key: bytes):
+    """Name-tree (B-tree) search with /Limits pruning
+    (reference pdfdocument.py:715-752)."""
+    catalog = doc.catalog or {}
+    names = dict_value(resolve1(catalog.get("Names")))
+    if cat not in names:
+        raise KeyError((cat, key))
+    def lookup(d):
+        d = dict_value(resolve1(d))
+        if "Limits" in d:
+            (k1, k2) = [bytes_value(resolve1(x))
+                        for x in list_value(resolve1(d["Limits"]))[:2]]
+            if key < k1 or k2 < key:
+                return None
+        if "Names" in d:
+            pairs = list_value(resolve1(d["Names"]))
+            table = {bytes_value(resolve1(pairs[i])): pairs[i + 1]
+                     for i in range(0, len(pairs) - 1, 2)}
+            return table.get(key)
+        if "Kids" in d:
+            for c in list_value(resolve1(d["Kids"])):
+                v = lookup(c)
+                if v is not None:
+                    return v
+        return None
+
+    v = lookup(names[cat])
+    if v is None:
+        raise KeyError((cat, key))
+    return v
+
+
+def get_dest(doc: PdfDocument, name: bytes):
+    """Named-destination resolution: name tree (PDF 1.2+) with the
+    catalog /Dests dict fallback (reference pdfdocument.py:740-752)."""
+    try:
+        return resolve1(lookup_name_tree(doc, "Dests", name))
+    except KeyError:
+        pass
+    dests = dict_value(resolve1((doc.catalog or {}).get("Dests", {})))
+    key = name.decode("latin-1")
+    if key not in dests:
+        raise KeyError(name)
+    return resolve1(dests[key])
+
+
+def extract_embedded_files(data: bytes, password: bytes = b"") -> list[dict]:
+    """Embedded-file attachments (dumppdf -E analog,
+    tools/dumppdf.py:166-198): every /Filespec with an /EF payload."""
+    doc = PdfDocument(data, password=password)
+    out = []
+    seen = set()
+    for xref in doc.xrefs:
+        for objid in xref.get_objids():
+            if objid in seen:
+                continue
+            seen.add(objid)
+            try:
+                obj = doc.getobj(objid)
+            except Exception:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            if str(resolve1(obj.get("Type"))) != "Filespec":
+                continue
+            ef = dict_value(resolve1(obj.get("EF", {})))
+            strm = ef.get("F") or ef.get("UF")
+            if strm is None:
+                continue
+            from .objects import stream_value
+
+            payload = stream_value(resolve1(strm)).get_data()
+            fname = resolve1(obj.get("UF") or obj.get("F") or b"")
+            if isinstance(fname, bytes):
+                fname = fname.decode("latin-1")
+            out.append({"objid": objid, "filename": str(fname),
+                        "payload": payload})
+    return out
+
+
 def get_outlines(data: bytes, password: bytes = b""):
     """Yield (level, title, dest) from the document outline tree
     (reference pdfdocument.py:693-713)."""

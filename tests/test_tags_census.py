@@ -30,3 +30,21 @@ def test_census_large_doc():
 def test_outlines_no_crash():
     for name in ("simple1", "jo", "nonfree/dmca"):
         list(get_outlines(payload(name)))
+
+
+def test_embedded_files_and_dest():
+    import os
+
+    from pdfminer_spark.pdf.document import PdfDocument
+    from pdfminer_spark.pdf.tags import extract_embedded_files, get_dest
+
+    from conftest import PAYLOADS
+
+    with open(os.path.join(PAYLOADS, "synthetic", "attach.pdf"), "rb") as fp:
+        pdf = fp.read()
+    files = extract_embedded_files(pdf)
+    assert len(files) == 1
+    assert files[0]["filename"] == "notes.txt"
+    assert files[0]["payload"].startswith(b"attachment payload bytes")
+    dest = get_dest(PdfDocument(pdf), b"top")
+    assert str(dest[1]) == "XYZ"
