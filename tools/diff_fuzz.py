@@ -23,11 +23,19 @@ WORDS = [b"alpha", b"beta", b"gamma", b"delta", b"Hello", b"World",
          b"x", b"Y", b"(esc)", b"a b  c", b"mix3d t0kens", b"trailing "]
 
 
+DIFF_FONT = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+             b"/Encoding << /Type /Encoding /BaseEncoding /MacRomanEncoding "
+             b"/Differences [ 97 /exclam 98 /at /numbersign ] >> >>")
+
+
 def rand_content(rng: random.Random) -> bytes:
     ops: list[bytes] = []
     n_blocks = rng.randint(1, 6)
     for _ in range(n_blocks):
-        ops.append(b"BT /F1 %d Tf" % rng.randint(4, 36))
+        font = rng.choice([b"/F1", b"/F1", b"/F2"])
+        ops.append(b"BT %s %d Tf" % (font, rng.randint(4, 36)))
+        if rng.random() < 0.15:
+            ops.append(b"% comment line\n")
         x = rng.randint(0, 600)
         y = rng.randint(0, 780)
         ops.append(b"%d %d Td" % (x, y))
@@ -45,8 +53,10 @@ def rand_content(rng: random.Random) -> bytes:
         for _ in range(n_shows):
             w = rng.choice(WORDS).replace(b"(", b"\\(").replace(b")", b"\\)")
             kind = rng.random()
-            if kind < 0.4:
+            if kind < 0.35:
                 ops.append(b"(%s) Tj" % w)
+            elif kind < 0.45:
+                ops.append(b"<%s> Tj" % rng.choice(WORDS).hex().encode())
             elif kind < 0.6:
                 parts = b" ".join(
                     b"(%s) %d" % (w, rng.randint(-3000, 1000))
@@ -121,11 +131,25 @@ def main() -> int:
     from pdfminer_spark.pdf.layout import LAParams
     from pdfminer_spark.pdf.xmlout import extract_xml
 
+    from gen_testpdfs import _classic_pdf, _stream_obj
+
+    def build(content, rot):
+        return _classic_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Rotate %d /Resources << /Font << /F1 4 0 R /F2 6 0 R >> "
+                b">> /Contents 5 0 R >>" % rot),
+            4: FONT,
+            5: _stream_obj(b"", content),
+            6: DIFF_FONT,
+        })
+
     rng = random.Random(seed)
     fails = 0
     for i in range(iters):
         rot = rng.choice([0, 0, 0, 90, 180, 270])
-        pdf = basic(rand_content(rng), rotate=rot)
+        pdf = build(rand_content(rng), rot)
         la_kwargs = rand_laparams(rng)
         la = LAParams(**la_kwargs)
         try:
