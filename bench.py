@@ -124,7 +124,7 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         probe = os.path.join(here, "tools", "scaling_probe.py")
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-        scale_turns = min(_bench_turns(), 800)
+        scale_turns = min(_bench_turns(), 1600)
         # the sandbox has noisy-neighbor variance: measure each level in
         # two independent JVMs (interleaved) and take the best — peak
         # capability is the right basis for a scaling ratio
