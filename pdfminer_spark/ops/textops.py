@@ -87,6 +87,79 @@ def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SimHash ---------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit_j = sign of the sum of
+    (2*b_j(token) - 1) across tokens, where b_j comes from the first 4 hex
+    digits of md5(token) (cross-engine stable: md5 + strpos arithmetic,
+    no engine-specific hash).
+
+    Scale: explode + groupBy(doc) — partial sums map-side; near-dup
+    candidates then bucket on the fingerprint (hamming-adjacent probing
+    downstream)."""
+    d = _docs(spark, sf_dir)
+    tokens = F.explode(F.array_distinct(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""))
+    ).alias("token")
+    t = d.select("doc_id", tokens)
+    h = F.md5(F.col("token"))
+    # nibble value of hex digit k (1-based): strpos('0123..f', digit) - 1
+    digit_val = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, k + 1, 1)) - 1
+        for k in range(4)
+    ]
+    bit_cols = []
+    for j in range(_SIMHASH_BITS):
+        nib = digit_val[j // 4]
+        bit = F.floor(nib / (2 ** (j % 4))) % 2
+        bit_cols.append((bit * 2 - 1).alias("b%d" % j))
+    summed = t.select("doc_id", *bit_cols).groupBy("doc_id").agg(
+        *[F.sum("b%d" % j).alias("s%d" % j) for j in range(_SIMHASH_BITS)])
+    fp = F.lit(0)
+    for j in range(_SIMHASH_BITS):
+        fp = fp + F.when(F.col("s%d" % j) > 0, 2 ** j).otherwise(0)
+    return summed.select("doc_id", fp.cast("int").alias("simhash"))
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard over word-3-gram shingle sets for docs in
+    the same exact-length bucket (bounded candidate set), J >= 0.2.
+
+    The brute-force baseline the MinHash/LSH path approximates; at corpus
+    scale only the LSH candidates are compared."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    shingles = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                   F.element_at(words, i + 1),
+                                   F.element_at(words, i + 2))))
+    base = d.select("doc_id", shingles.alias("sh"),
+                    F.size(shingles).alias("n_sh"))
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+                    F.col("n_sh").alias("n_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
+                    F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 4)
+    # equi-join on a shingle-count bucket bounds the candidate set (the
+    # O(n^2) cross product never materializes; near-dups have near-equal
+    # lengths, so same-bucket comparison catches J >= 0.2 pairs)
+    return (
+        a.join(b, (F.col("id_a") < F.col("id_b"))
+               & (F.floor(F.col("n_a") / 16) == F.floor(F.col("n_b") / 16)))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
 # -- document fingerprint --------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,12 +367,56 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+_SIMHASH_SQL_BITS = []
+for _j in range(_SIMHASH_BITS):
+    _SIMHASH_SQL_BITS.append(
+        "CASE WHEN SUM((FLOOR((STRPOS('0123456789abcdef', "
+        "SUBSTRING(MD5(token), %d, 1)) - 1) / %d)::INT %% 2) * 2 - 1) > 0 "
+        "THEN %d ELSE 0 END" % (_j // 4 + 1, 2 ** (_j % 4), 2 ** _j))
+
+ORACLES["simhash"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_FILTER(
+               STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+               x -> x <> ''))) AS token
+      FROM documents
+    )
+    SELECT doc_id, (%s)::INT AS simhash
+    FROM toks GROUP BY doc_id
+""" % " + ".join(_SIMHASH_SQL_BITS)
+
+ORACLES["ngram_jaccard_pairs"] = """
+    WITH base AS (
+      SELECT doc_id,
+             LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               FOR i IN RANGE(1, GREATEST(LEN(w) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents)
+    ), sized AS (
+      SELECT doc_id, sh, LEN(sh) AS n_sh FROM base
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
+                 (a.n_sh + b.n_sh - LEN(LIST_INTERSECT(a.sh, b.sh))), 4)
+             AS jaccard
+    FROM sized a JOIN sized b
+      ON a.doc_id < b.doc_id
+     AND FLOOR(a.n_sh / 16) = FLOOR(b.n_sh / 16)
+    WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
+                (a.n_sh + b.n_sh - LEN(LIST_INTERSECT(a.sh, b.sh))), 4) >= 0.2
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_buckets": dedup_minhash_buckets,  # rows-only (LSH path)
+    "simhash": simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
-    "quality_score": quality_score,  # rows-only unless oracle added below
-    "lang_id": lang_id,              # rows-only heuristic
+    "quality_score": quality_score,
+    "lang_id": lang_id,
 }
