@@ -72,7 +72,7 @@ def run_headline_queries(spark) -> dict[str, float]:
         "pricing_summary", "revenue_by_nation", "interval_self_join",
         "turn_ordering_window", "dedup_exact", "dedup_minhash",
         "token_count", "quality_score", "ann_cosine_topk",
-        "embedding_near_dups", "media_features", "extract_documents",
+        "embedding_near_dups_fast", "media_features", "extract_documents",
     ]
     qs = entry.queries()
     out = {}
