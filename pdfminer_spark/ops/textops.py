@@ -58,9 +58,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
     )
     exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    # one md5 per shingle, sliced into 4 independent 32-bit (8-hex) hash
+    # values — 4x less hashing than salted re-hashing, same minhash math
+    h = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j)))))
-        .alias("sig%d" % j)
+        F.min(F.substring(h, 8 * j + 1, 8)).alias("sig%d" % j)
         for j in range(_N_HASHES)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -256,7 +258,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SIG_SQL = ", ".join(
-    "MIN(MD5(shingle || '#' || '%d')) AS sig%d" % (j, j) for j in range(_N_HASHES)
+    "MIN(SUBSTRING(MD5(shingle), %d, 8)) AS sig%d" % (8 * j + 1, j)
+    for j in range(_N_HASHES)
 )
 
 ORACLES: dict[str, str] = {
