@@ -5,6 +5,14 @@ libraries are not in this container, so the decode step is a clearly
 marked deterministic fake (``_fake_decode``) — the Spark-side plumbing
 (schema, Arrow batching, mapInPandas signature, partitioning) is real and
 tested, and swapping the fake for PIL/ffmpeg is a one-function change.
+
+Scale notes: doc_id is unique, so there is deliberately NO repartition
+before the mapInPandas — a shuffle of payload bytes ahead of a per-row
+map buys nothing (round-1 verdict item #1); the map runs directly on the
+scan partitions. The registered ``media_features`` query emits a
+cross-engine-stable ``feature_digest`` (md5 over integer histogram
+counts) instead of a raw ``array<float>`` column; the float vector
+variant stays available to library users via ``media_feature_vectors``.
 """
 from __future__ import annotations
 
@@ -49,8 +57,7 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
     Real deployment replaces this with PIL.Image.open / soundfile /
     pyav frame sampling (NotImplemented here — libs absent). Shapes are
-    derived from a content digest so results are stable and testable.
-    """
+    derived from a content digest so results are stable and testable."""
     h = hashlib.sha256(payload).digest()
     if kind == "image":
         width = 64 + h[0] % 192
@@ -78,38 +85,126 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
+FEATURES_DIGEST_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("frames", T.IntegerType()),
+    T.StructField("feature_digest", T.StringType()),
+])
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _hist_counts(payload: bytes) -> np.ndarray:
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(_FEATURE_DIM, dtype=np.int64)
+    return np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM)
+
+
+def _feature_batches(vector: bool):
     """mapInPandas body: decode + feature-extract one Arrow batch.
 
-    The feature vector is a deterministic byte-histogram projection
-    (stands in for a CNN/audio embedding); numpy-vectorized per batch."""
-    for pdf in batches:
-        metas = [_fake_decode(p, k) for (p, k) in zip(pdf["payload"], pdf["kind"])]
-        feats = []
-        for p in pdf["payload"]:
-            arr = np.frombuffer(bytes(p), dtype=np.uint8)
-            if arr.size == 0:
-                feats.append([0.0] * _FEATURE_DIM)
-                continue
-            hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM)
-            feats.append((hist / arr.size).round(6).astype(np.float32).tolist())
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "kind": pdf["kind"],
-            "width": pd.Series([m["width"] for m in metas], dtype="int32"),
-            "height": pd.Series([m["height"] for m in metas], dtype="int32"),
-            "frames": pd.Series([m["frames"] for m in metas], dtype="int32"),
-            "feature": feats,
-        })
+    The feature is a byte-histogram of the payload (stands in for a
+    CNN/audio embedding); numpy-vectorized per batch. ``vector=True``
+    yields the normalized float vector; ``vector=False`` yields an md5
+    digest of the raw integer counts (cross-engine canonical — float
+    string formatting never enters the comparison)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(bytes(p), k)
+                     for (p, k) in zip(pdf["payload"], pdf["kind"])]
+            hists = [_hist_counts(bytes(p)) for p in pdf["payload"]]
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                "frames": pd.Series([m["frames"] for m in metas], dtype="int32"),
+            }
+            if vector:
+                cols["feature"] = [
+                    (h / max(int(h.sum()), 1)).round(6).astype(np.float32).tolist()
+                    for h in hists
+                ]
+            else:
+                cols["feature_digest"] = [
+                    hashlib.md5(
+                        ",".join(str(int(c)) for c in h).encode()).hexdigest()
+                    for h in hists
+                ]
+            yield pd.DataFrame(cols)
+
+    return fn
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode -> feature-extract over Arrow batches (the real plumbing;
-    fake decode). Repartitioned by doc_id so payload bytes shuffle once."""
-    m = media_table(spark, sf_dir).repartition("doc_id")
-    return m.mapInPandas(_feature_batches, schema=FEATURES_SCHEMA)
+    """decode -> feature-extract over Arrow batches, directly on the scan
+    partitions (no shuffle: doc_id is unique, a repartition would move
+    every payload byte for nothing). Emits feature_digest, not the raw
+    vector — canonical across engines."""
+    m = media_table(spark, sf_dir)
+    return m.mapInPandas(_feature_batches(vector=False),
+                         schema=FEATURES_DIGEST_SCHEMA)
 
+
+def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library variant: same decode path, raw normalized float vector
+    (feeds the ANN/similarity operators downstream)."""
+    m = media_table(spark, sf_dir)
+    return m.mapInPandas(_feature_batches(vector=True),
+                         schema=FEATURES_SCHEMA)
+
+
+def _hexbyte_sql(dig: str, k: int) -> str:
+    """SQL for byte k (0-based) of a lowercase hex digest string."""
+    return ("((STRPOS('0123456789abcdef', SUBSTR(%s, %d, 1)) - 1) * 16 + "
+            "STRPOS('0123456789abcdef', SUBSTR(%s, %d, 1)) - 1)"
+            % (dig, 2 * k + 1, dig, 2 * k + 2))
+
+
+_HIST_COLS = ", ".join(
+    "COALESCE(SUM(CASE WHEN b = %d THEN 1 ELSE 0 END), 0) AS c%d" % (j, j)
+    for j in range(_FEATURE_DIM))
+
+# documents.text is ASCII in the driver corpus, so per-character ORD equals
+# the utf-8 payload byte; the fake decode dims come from SHA256 digest bytes
+# (hex-parsed with STRPOS arithmetic — no engine-specific hash functions).
+_MEDIA_FEATURES_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE doc_id %% 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind,
+             SHA256(text) AS dig
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, ORD(SUBSTR(text, i, 1)) %% 8 AS b
+      FROM (SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) + 1)) AS i
+            FROM documents)
+    ), hist AS (
+      SELECT d.doc_id, %(hist_cols)s
+      FROM documents d LEFT JOIN ch ON d.doc_id = ch.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT base.doc_id, kind,
+           (CASE kind WHEN 'image' THEN 64 + %(h0)s %% 192
+                      WHEN 'video' THEN 320 ELSE 0 END)::INT AS width,
+           (CASE kind WHEN 'image' THEN 64 + %(h1)s %% 192
+                      WHEN 'video' THEN 240 ELSE 0 END)::INT AS height,
+           (CASE kind WHEN 'image' THEN 1
+                      WHEN 'video' THEN 1 + %(h2)s %% 16
+                      ELSE 1 + %(h3)s %% 64 END)::INT AS frames,
+           MD5(c0::VARCHAR || ',' || c1::VARCHAR || ',' || c2::VARCHAR || ','
+               || c3::VARCHAR || ',' || c4::VARCHAR || ',' || c5::VARCHAR
+               || ',' || c6::VARCHAR || ',' || c7::VARCHAR) AS feature_digest
+    FROM base JOIN hist ON base.doc_id = hist.doc_id
+""" % {
+    "hist_cols": _HIST_COLS,
+    "h0": _hexbyte_sql("dig", 0),
+    "h1": _hexbyte_sql("dig", 1),
+    "h2": _hexbyte_sql("dig", 2),
+    "h3": _hexbyte_sql("dig", 3),
+}
 
 ORACLES: dict[str, str] = {
     "media_metadata": """
@@ -120,9 +215,10 @@ ORACLES: dict[str, str] = {
                SHA256(text) AS digest
         FROM documents
     """,
+    "media_features": _MEDIA_FEATURES_ORACLE,
 }
 
 QUERIES = {
     "media_metadata": media_metadata,
-    "media_features": media_features,  # rows-only: stubbed decode
+    "media_features": media_features,
 }
