@@ -5,16 +5,63 @@ counting, fingerprinting), each built from JVM-side Spark SQL functions —
 no Python UDFs in any of these paths — with DuckDB oracle SQL.
 
 Cross-engine determinism rule: any hash used in a comparison is md5 (hex
-string in both engines); numeric derivations are rounded on both sides.
+string in both engines); numeric derivations are rounded on both sides;
+hex→int parsing is STRPOS arithmetic in SQL / ``conv`` in Spark.
+
+MinHash construction (round-2, replaces the 4-slice md5 variant): one md5
+per shingle yields two 32-bit values (h1, h2); the 64 permutations are
+``(h1 + j*h2) mod P`` (Kirsch–Mitzenhauer double hashing, P prime >
+2^32) — integer math both engines agree on exactly, and the per-shingle
+hashing cost stays one md5 no matter how many permutations. Banding is
+b=16 bands × r=4 rows: P(candidate) = 1-(1-J^4)^16 (J=0.8 → 0.9998,
+J=0.5 → 0.64, J=0.2 → 0.025) — the standard near-dup operating curve.
+
+Short-document rule (ANSI-safe): docs with fewer than 3 tokens produce
+no 3-gram shingles and drop out of shingle-based outputs; the lookahead
+terms are only evaluated under a ``size(words) >= 3`` guard so ANSI mode
+never sees an out-of-bounds index (pyspark 4 defaults ANSI on). The
+DuckDB oracles mirror the rule with ``WHERE LEN(w) >= 3``.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str,
+          parallel: bool = False) -> DataFrame:
+    """documents scan. ``parallel=True`` repartitions to the session's
+    default parallelism before CPU-heavy per-row expression stages
+    (shingle explode + hashing): the test corpus is one small parquet
+    file, which Spark reads as a single partition — without the spread,
+    a 32-core box runs the explode single-threaded. The shuffled payload
+    is just (doc_id, text), a few MB; on a real multi-file 100 TB corpus
+    the scan already yields thousands of partitions and AQE coalesces
+    away any excess, so this is cheap insurance, not a scale cost."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if parallel:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hex2int_sql(expr: str, start: int, n: int = 8) -> str:
+    """DuckDB SQL: parse ``n`` hex chars of ``expr`` starting at 1-based
+    ``start`` into a BIGINT (no engine-specific hex cast needed)."""
+    terms = [
+        "(STRPOS('%s', SUBSTR(%s, %d, 1)) - 1) * %d"
+        % (_HEX, expr, start + k, 16 ** (n - 1 - k))
+        for k in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hex2long(col, start: int):
+    """Spark: parse 8 hex chars at 1-based ``start`` into a long."""
+    return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
 
 
 # -- exact dedup ---------------------------------------------------------------
@@ -35,50 +82,76 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- MinHash signatures (n-gram shingles) ---------------------------------------
 
-_N_HASHES = 4
+_N_PERMS = 64
+_BANDS = 16
+_ROWS_PER_BAND = 4
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _shingles_expr(words, keep_empty_tokens: bool):
+    """Word-3-gram shingle array, guarded for <3-token docs (empty array:
+    explode() then drops the doc). Lookahead indices are only reachable
+    when size >= 3, so ANSI mode cannot throw INVALID_ARRAY_INDEX."""
+    if keep_empty_tokens:
+        idx = F.sequence(F.lit(0), F.size(words) - 3)
+        built = F.transform(
+            idx, lambda i: F.concat_ws(" ", words[i], words[i + 1],
+                                       words[i + 2]))
+    else:
+        idx = F.sequence(F.lit(1), F.size(words) - 2)
+        built = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                       F.element_at(words, i + 1),
+                                       F.element_at(words, i + 2)))
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    return F.when(F.size(words) >= 3, built).otherwise(empty)
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature per document over word-3-gram shingles.
-
-    shingle -> md5(shingle + seed) -> per-doc min: the classic
-    shingle/minhash construction; band-bucket joining happens downstream
-    (dedup_minhash_buckets). Hashes are md5 hex strings so the DuckDB
-    oracle computes identical values; min() over hex strings is a valid
-    uniform min (lexicographic order of a uniform hash).
+    """64-permutation MinHash signature per document over word-3-gram
+    shingles (double-hashing construction, see module docstring).
 
     Scale: explode(shingles) is the heavy stage — the shuffle carries
-    (doc_id, 16-byte digest) pairs only; partial min aggregation happens
-    map-side."""
-    d = _docs(spark, sf_dir)
+    (doc_id, h1, h2) longs only; the 64 per-permutation mins aggregate
+    map-side (partial min), so the reduce side sees one row per doc per
+    partition."""
+    d = _docs(spark, sf_dir, parallel=True)
     words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-    ngram_idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
-    shingles = F.transform(
-        ngram_idx,
-        lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
+    exploded = d.select(
+        "doc_id",
+        F.explode(_shingles_expr(words, keep_empty_tokens=True)).alias("shingle"),
     )
-    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    # one md5 per shingle, sliced into 4 independent 32-bit (8-hex) hash
-    # values — 4x less hashing than salted re-hashing, same minhash math
     h = F.md5(F.col("shingle"))
+    hashed = exploded.select(
+        "doc_id",
+        _hex2long(h, 1).alias("h1"),
+        _hex2long(h, 9).alias("h2"),
+    )
     aggs = [
-        F.min(F.substring(h, 8 * j + 1, 8)).alias("sig%d" % j)
-        for j in range(_N_HASHES)
+        F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MH_PRIME))
+        .alias("sig%d" % j)
+        for j in range(_N_PERMS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_expr(j: int):
+    cols = [F.col("sig%d" % k).cast("string")
+            for k in range(_ROWS_PER_BAND * j, _ROWS_PER_BAND * (j + 1))]
+    return F.md5(F.concat_ws(":", F.lit(str(j)), *cols))
 
 
 def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH band-bucket grouping: docs sharing any signature band are
-    dup candidates. Band = one md5 minhash here (r=1, b=4).
+    """LSH band-bucket grouping: docs sharing any of the 16 band hashes
+    (4 signature rows per band) are dup candidates.
 
-    Scale: groupBy on the band value — the bucket-join pattern that
-    replaces the O(n^2) pairwise comparison at corpus scale."""
+    Scale: groupBy on the band hash — the bucket-join pattern that
+    replaces the O(n^2) pairwise comparison at corpus scale; band hashes
+    are uniform md5s, so buckets cannot skew beyond true duplicates."""
     sigs = dedup_minhash(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
-        F.explode(F.array(*[F.concat_ws(":", F.lit(str(j)), "sig%d" % j)
-                            for j in range(_N_HASHES)])).alias("band"),
+        F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),
     )
     return (
         bands.groupBy("band")
@@ -89,30 +162,64 @@ def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup PAIRS from banded MinHash LSH, with the
+    estimated Jaccard (fraction of the 64 signature mins that agree).
+
+    The end-to-end LSH dedup shape for 100 TB: band-bucket self-join
+    (candidates only — never the O(n^2) cross product), dedup of pairs
+    that collide in several bands, then a signature-similarity estimate
+    that downstream either thresholds or verifies exactly per pair."""
+    sigs = dedup_minhash(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band")
+    cand = (a.join(b, ["band"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     *[F.col("sig%d" % j).alias("a%d" % j)
+                       for j in range(_N_PERMS)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     *[F.col("sig%d" % j).alias("b%d" % j)
+                       for j in range(_N_PERMS)])
+    agree = sum(
+        F.when(F.col("a%d" % j) == F.col("b%d" % j), 1).otherwise(0)
+        for j in range(_N_PERMS)
+    )
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                F.round(agree / F.lit(_N_PERMS), 4).alias("est_jaccard"))
+    )
+
+
 # -- SimHash ---------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 64
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct tokens: bit_j = sign of the sum of
-    (2*b_j(token) - 1) across tokens, where b_j comes from the first 4 hex
-    digits of md5(token) (cross-engine stable: md5 + strpos arithmetic,
-    no engine-specific hash).
+    """64-bit SimHash over distinct tokens, emitted as a 16-hex-char
+    string: bit_j = sign of the sum of (2*b_j(token) - 1) across tokens,
+    where b_j is bit (j%4) of hex digit (j//4) of md5(token) — cross-
+    engine stable (md5 + STRPOS arithmetic, no engine-specific hash).
 
-    Scale: explode + groupBy(doc) — partial sums map-side; near-dup
-    candidates then bucket on the fingerprint (hamming-adjacent probing
-    downstream)."""
-    d = _docs(spark, sf_dir)
+    Scale: explode + groupBy(doc) — the 64 partial sums combine map-side;
+    near-dup candidates then bucket on fingerprint chunks (simhash_pairs),
+    never on all pairs."""
+    d = _docs(spark, sf_dir, parallel=True)
     tokens = F.explode(F.array_distinct(F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""))
     ).alias("token")
     t = d.select("doc_id", tokens)
     h = F.md5(F.col("token"))
-    # nibble value of hex digit k (1-based): strpos('0123..f', digit) - 1
     digit_val = [
-        F.instr(F.lit("0123456789abcdef"), F.substring(h, k + 1, 1)) - 1
-        for k in range(4)
+        F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1
+        for k in range(_SIMHASH_BITS // 4)
     ]
     bit_cols = []
     for j in range(_SIMHASH_BITS):
@@ -121,42 +228,85 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit_cols.append((bit * 2 - 1).alias("b%d" % j))
     summed = t.select("doc_id", *bit_cols).groupBy("doc_id").agg(
         *[F.sum("b%d" % j).alias("s%d" % j) for j in range(_SIMHASH_BITS)])
-    fp = F.lit(0)
-    for j in range(_SIMHASH_BITS):
-        fp = fp + F.when(F.col("s%d" % j) > 0, 2 ** j).otherwise(0)
-    return summed.select("doc_id", fp.cast("int").alias("simhash"))
+    nib_chars = []
+    for k in range(_SIMHASH_BITS // 4):
+        nib = sum(
+            F.when(F.col("s%d" % (4 * k + m)) > 0, 2 ** m).otherwise(0)
+            for m in range(4)
+        )
+        nib_chars.append(F.substr(F.lit(_HEX), nib + 1, F.lit(1)))
+    return summed.select("doc_id", F.concat(*nib_chars).alias("simhash"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= 3, found via the
+    pigeonhole chunk join: split the 64-bit fingerprint into 4 x 16-bit
+    chunks; any pair within hamming 3 agrees exactly on >= 1 chunk, so an
+    equi-join on (chunk_idx, chunk_value) yields a complete candidate set
+    without the O(n^2) cross product. Exact hamming is then bit_count of
+    the xor, computed on the two 32-bit halves (JVM-side)."""
+    sims = simhash(spark, sf_dir)
+    chunks = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws("#", F.lit(str(k)), F.substring("simhash", 4 * k + 1, 4))
+            for k in range(4)
+        ])).alias("chunk"),
+    )
+    a = chunks.select(F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("sim_a"), "chunk")
+    b = chunks.select(F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("sim_b"), "chunk")
+    cand = (a.join(b, ["chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    ham = (
+        F.bit_count(_hex2long(F.col("sim_a"), 1)
+                    .bitwiseXOR(_hex2long(F.col("sim_b"), 1)))
+        + F.bit_count(_hex2long(F.col("sim_a"), 9)
+                      .bitwiseXOR(_hex2long(F.col("sim_b"), 9)))
+    )
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
 
 
 # -- exact n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise Jaccard over word-3-gram shingle sets for docs in
-    the same exact-length bucket (bounded candidate set), J >= 0.2.
+    adjacent shingle-count buckets, J >= 0.2.
+
+    Candidate rule: |floor(n_a/16) - floor(n_b/16)| <= 1, implemented as
+    an equi-join by exploding {b-1, b, b+1} on one side — adjacent-bucket
+    probing removes the boundary false-negatives of a same-bucket-only
+    join (15 vs 16 shingles straddle a multiple of 16) while still
+    bounding the candidate set: a J >= 0.2 pair can differ in size by at
+    most 5x, and true near-dups by far less.
 
     The brute-force baseline the MinHash/LSH path approximates; at corpus
     scale only the LSH candidates are compared."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, parallel=True)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                      lambda w: w != "")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
-    shingles = F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(words, i),
-                                   F.element_at(words, i + 1),
-                                   F.element_at(words, i + 2))))
-    base = d.select("doc_id", shingles.alias("sh"),
-                    F.size(shingles).alias("n_sh"))
-    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
-                    F.col("n_sh").alias("n_a"))
+    shingles = F.array_distinct(_shingles_expr(words, keep_empty_tokens=False))
+    base = (d.select("doc_id", shingles.alias("sh"),
+                     F.size(shingles).alias("n_sh"))
+            .filter(F.col("n_sh") > 0))
+    bucket = F.floor(F.col("n_sh") / 16)
+    a = base.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("cb"))
     b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
-                    F.col("n_sh").alias("n_b"))
+                    F.col("n_sh").alias("n_b"),
+                    bucket.alias("bucket_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 4)
-    # equi-join on a shingle-count bucket bounds the candidate set (the
-    # O(n^2) cross product never materializes; near-dups have near-equal
-    # lengths, so same-bucket comparison catches J >= 0.2 pairs)
     return (
         a.join(b, (F.col("id_a") < F.col("id_b"))
-               & (F.floor(F.col("n_a") / 16) == F.floor(F.col("n_b") / 16)))
+               & (F.col("cb") == F.col("bucket_b")))
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.2)
     )
@@ -257,10 +407,43 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fr.alias("fr_votes"), es.alias("es_votes"))
 
 
-_MINHASH_SIG_SQL = ", ".join(
-    "MIN(SUBSTRING(MD5(shingle), %d, 8)) AS sig%d" % (8 * j + 1, j)
-    for j in range(_N_HASHES)
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MINHASH_SIG_CTE = """
+    WITH words AS (
+      SELECT doc_id,
+             STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+') AS w
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     FOR i IN RANGE(1, LEN(w) - 2 + 1)]) AS shingle
+      FROM words WHERE LEN(w) >= 3
+    ), hx AS (
+      SELECT doc_id, MD5(shingle) AS h FROM shingled
+    ), hv AS (
+      SELECT doc_id, %s AS h1, %s AS h2 FROM hx
+    ), sigs AS (
+      SELECT doc_id, %s
+      FROM hv GROUP BY doc_id
+    )
+""" % (
+    _hex2int_sql("h", 1), _hex2int_sql("h", 9),
+    ", ".join("MIN((h1 + %d * h2) %% %d) AS sig%d" % (j, _MH_PRIME, j)
+              for j in range(_N_PERMS)),
 )
+
+_BAND_SQL = lambda j: ("MD5('%d' || ':' || %s)" % (j, " || ':' || ".join(
+    "sig%d::VARCHAR" % k
+    for k in range(_ROWS_PER_BAND * j, _ROWS_PER_BAND * (j + 1)))))
+
+_BANDS_CTE = _MINHASH_SIG_CTE + """, bands AS (
+      %s
+    )
+""" % "\n      UNION ALL\n      ".join(
+    "SELECT doc_id, %s AS band FROM sigs" % _BAND_SQL(j) for j in range(_BANDS))
 
 ORACLES: dict[str, str] = {
     "dedup_exact": """
@@ -268,20 +451,24 @@ ORACLES: dict[str, str] = {
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY MD5(text)
     """,
-    "dedup_minhash": """
-        WITH words AS (
-          SELECT doc_id,
-                 STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+') AS w
-          FROM documents
-        ), shingled AS (
-          SELECT doc_id,
-                 UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                         FOR i IN RANGE(1, GREATEST(LEN(w) - 2, 1) + 1)])
-                   AS shingle
-          FROM words
+    "dedup_minhash": _MINHASH_SIG_CTE + "SELECT * FROM sigs",
+    "dedup_minhash_buckets": _BANDS_CTE + """
+        SELECT band, COUNT(*) AS bucket_size,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM bands GROUP BY band HAVING COUNT(*) > 1
+    """,
+    "dedup_minhash_pairs": _BANDS_CTE + """, cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id
         )
-        SELECT doc_id, %s FROM shingled GROUP BY doc_id
-    """ % _MINHASH_SIG_SQL,
+        SELECT id_a, id_b,
+               ROUND((%s)::DOUBLE / %d, 4) AS est_jaccard
+        FROM cand JOIN sigs sa ON sa.doc_id = id_a
+                  JOIN sigs sb ON sb.doc_id = id_b
+    """ % (" + ".join(
+        "CASE WHEN sa.sig%d = sb.sig%d THEN 1 ELSE 0 END" % (j, j)
+        for j in range(_N_PERMS)), _N_PERMS),
     "doc_fingerprint": """
         WITH toks AS (
           SELECT doc_id,
@@ -370,36 +557,69 @@ ORACLES: dict[str, str] = {
     """,
 }
 
-_SIMHASH_SQL_BITS = []
-for _j in range(_SIMHASH_BITS):
-    _SIMHASH_SQL_BITS.append(
-        "CASE WHEN SUM((FLOOR((STRPOS('0123456789abcdef', "
-        "SUBSTRING(MD5(token), %d, 1)) - 1) / %d)::INT %% 2) * 2 - 1) > 0 "
-        "THEN %d ELSE 0 END" % (_j // 4 + 1, 2 ** (_j % 4), 2 ** _j))
+# 64-bit simhash: bit j = sign of Σ_tokens (2*bit_j(md5(token)) - 1);
+# fingerprint emitted as 16 hex chars (char k from bits 4k..4k+3).
+_SIMHASH_NIBBLES = []
+for _k in range(_SIMHASH_BITS // 4):
+    _terms = []
+    for _m in range(4):
+        _j = 4 * _k + _m
+        _terms.append(
+            f"CASE WHEN SUM((FLOOR((STRPOS('{_HEX}', "
+            f"SUBSTRING(MD5(token), {_j // 4 + 1}, 1)) - 1) "
+            f"/ {2 ** (_j % 4)})::INT % 2) * 2 - 1) > 0 "
+            f"THEN {2 ** _m} ELSE 0 END")
+    _SIMHASH_NIBBLES.append(
+        f"SUBSTR('{_HEX}', ({' + '.join(_terms)}) + 1, 1)")
 
-ORACLES["simhash"] = """
+_SIMHASH_CTE = """
     WITH toks AS (
       SELECT doc_id,
              UNNEST(LIST_DISTINCT(LIST_FILTER(
                STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
                x -> x <> ''))) AS token
       FROM documents
+    ), sims AS (
+      SELECT doc_id, {nibbles} AS simhash
+      FROM toks GROUP BY doc_id
     )
-    SELECT doc_id, (%s)::INT AS simhash
-    FROM toks GROUP BY doc_id
-""" % " + ".join(_SIMHASH_SQL_BITS)
+""".format(nibbles=" || ".join(_SIMHASH_NIBBLES))
+
+ORACLES["simhash"] = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sims"
+
+_HAM_SQL = ("(BIT_COUNT(XOR({a1}, {b1})) + BIT_COUNT(XOR({a2}, {b2})))"
+            .format(a1=_hex2int_sql("sa", 1), b1=_hex2int_sql("sb", 1),
+                    a2=_hex2int_sql("sa", 9), b2=_hex2int_sql("sb", 9)))
+
+ORACLES["simhash_pairs"] = _SIMHASH_CTE + """, chunks AS (
+      SELECT doc_id, simhash, UNNEST(RANGE(0, 4)) AS k FROM sims
+    ), keyed AS (
+      SELECT doc_id, simhash, k, SUBSTR(simhash, 4 * k + 1, 4) AS key
+      FROM chunks
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM keyed a JOIN keyed b
+        ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {ham}::INT AS hamming
+    FROM cand
+    WHERE {ham} <= 3
+""".format(ham=_HAM_SQL)
 
 ORACLES["ngram_jaccard_pairs"] = """
     WITH base AS (
       SELECT doc_id,
-             LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-               FOR i IN RANGE(1, GREATEST(LEN(w) - 2, 1) + 1)]) AS sh
+             CASE WHEN LEN(w) >= 3
+                  THEN LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         FOR i IN RANGE(1, LEN(w) - 2 + 1)])
+                  ELSE [] END AS sh
       FROM (SELECT doc_id,
                    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
                                x -> x <> '') AS w
             FROM documents)
     ), sized AS (
-      SELECT doc_id, sh, LEN(sh) AS n_sh FROM base
+      SELECT doc_id, sh, LEN(sh) AS n_sh FROM base WHERE LEN(sh) > 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
@@ -407,7 +627,7 @@ ORACLES["ngram_jaccard_pairs"] = """
              AS jaccard
     FROM sized a JOIN sized b
       ON a.doc_id < b.doc_id
-     AND FLOOR(a.n_sh / 16) = FLOOR(b.n_sh / 16)
+     AND ABS(FLOOR(a.n_sh / 16.0) - FLOOR(b.n_sh / 16.0)) <= 1
     WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE /
                 (a.n_sh + b.n_sh - LEN(LIST_INTERSECT(a.sh, b.sh))), 4) >= 0.2
 """
@@ -415,8 +635,10 @@ ORACLES["ngram_jaccard_pairs"] = """
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
-    "dedup_minhash_buckets": dedup_minhash_buckets,  # rows-only (LSH path)
+    "dedup_minhash_buckets": dedup_minhash_buckets,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash": simhash,
+    "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
