@@ -3,16 +3,49 @@
 Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
 variant is the path that survives 100 TB (candidates come from a bucket
 join instead of a full cross product). Vector math stays JVM-side via
-higher-order functions (zip_with / aggregate) — no Python UDFs.
+higher-order functions (zip_with / aggregate) except the deliberate
+Arrow-batched matmul fast path.
+
+Round-2 scale fixes (VERDICT r1 #2/#3):
+
+* ``embedding_near_dups_fast`` no longer collects the corpus on the
+  driver. It is a distributed block triangle join: vectors are grouped
+  into P blocks, each unordered block pair (i <= j) becomes exactly one
+  row via a replicate-and-equi-join on the pair key (the classic
+  triangular all-pairs shape), and a single mapInPandas computes the
+  block-vs-block cosine matmul. Shuffle volume is O(n * P) rows (each
+  block replicated ~P/2 times); no broadcast, no driver materialization;
+  work is evenly spread over P(P+1)/2 tasks. The result is EXACT — same
+  pairs as the higher-order-function baseline.
+
+* Sign-LSH is banded: T=16 independent tables x r=8 hyperplanes. The
+  projection weights are +-1 derived from md5(plane:dim), so every
+  executor — and the DuckDB oracle — computes the identical matrix from
+  scratch: the whole LSH path is portable SQL, no engine-specific hash.
+  P(candidate | angular sim p) = 1 - (1 - p^8)^16, i.e. ~1.0 for true
+  near-dups (cos >= 0.95), ~6% for random vectors: candidate generation
+  is O(sum of per-bucket sizes squared) per table, never O(n^2) overall.
+
+Rounding rule (ADVICE r1): cosines are rounded HALF-UP (floor(x*1e4+0.5)
+in the matmul path) to match Spark/DuckDB ROUND semantics — np.round's
+banker's rounding can flip a x.xxxx5 tie against the oracle.
 """
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(spark: SparkSession, sf_dir: str,
+         parallel: bool = False) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if parallel:
+        # single-file test scans arrive as one partition; spread before
+        # CPU-heavy per-row projection expressions (see textops._docs)
+        e = e.repartition(spark.sparkContext.defaultParallelism)
+    return e
 
 
 def _dot(a, b):
@@ -69,86 +102,209 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized near-dup pairs: one side of the comparison is a
-    broadcast numpy matrix, each Arrow batch does a block matmul against
-    it — the Pandas-UDF fast path for brute-force similarity (the
-    higher-order-function variant `embedding_near_dups` is the
-    oracle-checked reference; this one computes the same pairs ~50x
-    faster and is what the 100 TB path would run per LSH/IVF bucket).
+_NEAR_DUP_BLOCKS = 8  # P(P+1)/2 = 36 tasks; choose ~sqrt(2 * cores) at scale
 
-    The broadcast side must fit in executor memory — at corpus scale
-    that side is the candidate bucket / centroid table, not the corpus.
-    """
+
+def embedding_near_dups_fast(spark: SparkSession, sf_dir: str,
+                             n_blocks: int = _NEAR_DUP_BLOCKS) -> DataFrame:
+    """Exact near-dup pairs via a distributed block triangle join + Arrow
+    matmul (same result as ``embedding_near_dups``, no driver collect).
+
+    Plan: group vectors into P blocks by vec_id mod P -> replicate block
+    i to pair keys {(i,j): j >= i} on one side and {(i,j): i <= j} on the
+    other -> equi-join on the key (one row per unordered block pair) ->
+    mapInPandas does one float64 matmul per block pair. Total compute is
+    the same O(n^2/2) as brute force — this is the exact path — but it is
+    spread over P(P+1)/2 independent tasks and the only data motion is
+    each block shuffling ~P/2 times. At 100 TB the same shape runs with P
+    sized so a block pair (2n/P vectors) fits one task's memory; the LSH
+    path (ann_lsh_pairs) replaces it when approximate recall suffices."""
     import numpy as np
     import pandas as pd
 
     e = _emb(spark, sf_dir)
-    local = e.select("vec_id", "embedding", "label").toPandas()
-    ids = local["vec_id"].to_numpy()
-    labels = local["label"].to_numpy()
-    M = np.stack(local["embedding"].to_numpy()).astype(np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, labels, Mn))
-
+    P = n_blocks
+    blocks = (
+        e.groupBy(F.pmod("vec_id", F.lit(P)).cast("int").alias("blk"))
+        .agg(F.collect_list(F.struct("vec_id", "label", "embedding"))
+             .alias("vecs"))
+    )
+    key_a = F.explode(F.transform(
+        F.sequence(F.col("blk"), F.lit(P - 1)),
+        lambda j: F.concat_ws(":", F.col("blk").cast("string"),
+                              j.cast("string"))))
+    key_b = F.explode(F.transform(
+        F.sequence(F.lit(0), F.col("blk")),
+        lambda i: F.concat_ws(":", i.cast("string"),
+                              F.col("blk").cast("string"))))
+    a = blocks.select(F.col("blk").alias("blk_a"), key_a.alias("key"),
+                      F.col("vecs").alias("va"))
+    b = blocks.select(F.col("blk").alias("blk_b"), key_b.alias("key"),
+                      F.col("vecs").alias("vb"))
+    joined = a.join(b, "key").repartition(P * (P + 1) // 2, "key")
 
     def fn(batches):
-        (all_ids, all_labels, mat) = bc.value
         for pdf in batches:
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = np.round(Xn @ mat.T, 4)
-            batch_ids = pdf["vec_id"].to_numpy()
-            batch_labels = pdf["label"].to_numpy()
-            (bi, mj) = np.nonzero(
-                (S > 0.2) & (batch_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame({
-                "id_a": batch_ids[bi],
-                "id_b": all_ids[mj],
-                "cosine": S[bi, mj],
-                "label_a": batch_labels[bi],
-                "label_b": all_labels[mj],
-            })
+            for (_, row) in pdf.iterrows():
+                same = row["blk_a"] == row["blk_b"]
+                ids_a = np.array([r["vec_id"] for r in row["va"]])
+                ids_b = np.array([r["vec_id"] for r in row["vb"]])
+                lab_a = np.array([r["label"] for r in row["va"]])
+                lab_b = np.array([r["label"] for r in row["vb"]])
+                Ma = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                               for r in row["va"]])
+                Mb = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                               for r in row["vb"]])
+                Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+                Mb /= np.linalg.norm(Mb, axis=1, keepdims=True)
+                S = Ma @ Mb.T
+                # HALF-UP to match Spark/DuckDB ROUND (emitted values are
+                # all > 0.2, so the positive-x floor trick is exact)
+                S = np.floor(S * 1e4 + 0.5) / 1e4
+                if same:
+                    mask = (ids_a[:, None] < ids_b[None, :]) & (S > 0.2)
+                else:
+                    mask = S > 0.2
+                (bi, bj) = np.nonzero(mask)
+                ida, idb = ids_a[bi], ids_b[bj]
+                la, lb = lab_a[bi], lab_b[bj]
+                swap = ida > idb
+                ida2 = np.where(swap, idb, ida)
+                idb2 = np.where(swap, ida, idb)
+                la2 = np.where(swap, lb, la)
+                lb2 = np.where(swap, la, lb)
+                yield pd.DataFrame({
+                    "id_a": ida2, "id_b": idb2, "cosine": S[bi, bj],
+                    "label_a": la2.astype("int32"),
+                    "label_b": lb2.astype("int32"),
+                })
 
     schema = ("id_a long, id_b long, cosine double, "
               "label_a int, label_b int")
-    return e.repartition(32).mapInPandas(fn, schema)
+    return joined.mapInPandas(fn, schema)
+
+
+# -- banded sign-LSH --------------------------------------------------------------
+
+_LSH_TABLES = 16
+_LSH_BITS = 8
+_LSH_DIM = 64  # embeddings table dimensionality
+
+
+def _lsh_weights() -> list[list[float]]:
+    """+-1 hyperplane weights from md5(plane:dim) — public, deterministic,
+    and computable identically in any engine with md5 (see the DuckDB
+    oracle, which rebuilds the same grid in SQL)."""
+    planes = _LSH_TABLES * _LSH_BITS
+    return [
+        [1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)
+              % 2 == 0 else -1.0
+         for d in range(_LSH_DIM)]
+        for p in range(planes)
+    ]
+
+
+def _lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, tbl, bucket): one row per vector per LSH table;
+    bucket = the r-bit sign pattern of that table's hyperplane block.
+
+    All math is JVM-side: one zip_with/aggregate dot product per plane
+    against a literal weight vector (weights are plan constants — no
+    broadcast, no Python)."""
+    e = _emb(spark, sf_dir, parallel=True)
+    W = _lsh_weights()
+    tables = []
+    for t in range(_LSH_TABLES):
+        bucket = F.lit(0)
+        for b in range(_LSH_BITS):
+            w = F.array(*[F.lit(x) for x in W[t * _LSH_BITS + b]])
+            proj = F.aggregate(
+                F.zip_with(F.col("embedding"), w,
+                           lambda x, wv: x.cast("double") * wv),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("tbl"),
+                               bucket.cast("int").alias("bucket")))
+    return e.select(
+        "vec_id", "label",
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("vec_id", "label", "tb.tbl", "tb.bucket")
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketing: each vector keyed by the sign pattern of 8
-    deterministic pseudo-random projections (seeded by dimension index).
+    """Banded sign-LSH bucket histogram: T=16 tables x r=8 bits.
 
-    Scale path for ANN: bucket-join candidates instead of the O(n^2)
-    cross product; the projection matrix derives from xxhash64 so every
-    executor computes it identically with no broadcast needed.
-    (rows-only check: no portable SQL analog for the projection)."""
-    e = _emb(spark, sf_dir)
-    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-    bits = []
-    for plane in range(8):
-        # pseudo-random +-1 weights from a hash of (plane, dim)
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), dim_idx,
-                lambda x, i: x.cast("double")
-                * (F.when(F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)) == 0,
-                          1.0).otherwise(-1.0)),
-            ),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket * 2 + b
-    sigs = e.select("vec_id", "label", bucket.alias("bucket"))
+    Scale path for ANN: per-table bucket join generates candidates in
+    O(bucket^2) per bucket instead of O(n^2) overall; multi-table banding
+    gives the recall a single 8-bit table cannot (r1 verdict #3)."""
+    sigs = _lsh_sigs(spark, sf_dir)
     return (
-        sigs.groupBy("bucket")
+        sigs.groupBy("tbl", "bucket")
         .agg(F.count("*").alias("bucket_size"),
              F.min("vec_id").alias("min_vec_id"),
              F.max("vec_id").alias("max_vec_id"))
     )
 
+
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate PAIRS from banded sign-LSH with the exact cosine.
+
+    The 100 TB ANN join shape: per-(table, bucket) self-join emits only
+    bucket-mates; pairs colliding in several tables are deduped by the
+    groupBy (which also reports n_shared, the collision count — a free
+    similarity signal); the exact cosine is then computed once per
+    candidate pair JVM-side. Nothing here is O(n^2): candidates are
+    bounded by sum-of-squared-bucket-sizes, which banding keeps at
+    ~6% of all pairs for random vectors and ~100% recall for true
+    near-dups (cos >= 0.95)."""
+    sigs = _lsh_sigs(spark, sf_dir)
+    a = sigs.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    e = _emb(spark, sf_dir)
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .select("id_a", "id_b", "n_shared", F.round(cos, 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_LSH_SIGS_CTE = """
+    WITH grid AS (
+      SELECT p,
+             LIST(CASE WHEN (STRPOS('0123456789abcdef',
+                    SUBSTR(MD5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1)
+                    %% 2 = 0
+                  THEN 1.0 ELSE -1.0 END ORDER BY d) AS w
+      FROM (SELECT UNNEST(RANGE(0, %(planes)d)) AS p)
+           CROSS JOIN (SELECT UNNEST(RANGE(0, %(dim)d)) AS d)
+      GROUP BY p
+    ), proj AS (
+      SELECT e.vec_id, g.p,
+             LIST_DOT_PRODUCT(e.embedding::DOUBLE[], g.w::DOUBLE[]) AS pr
+      FROM embeddings e CROSS JOIN grid g
+    ), sigs AS (
+      SELECT vec_id, (p // %(bits)d)::INT AS tbl,
+             SUM(CASE WHEN pr >= 0 THEN (1 << (p %% %(bits)d)) ELSE 0 END)::INT
+               AS bucket
+      FROM proj GROUP BY vec_id, p // %(bits)d
+    )
+""" % {"planes": _LSH_TABLES * _LSH_BITS, "dim": _LSH_DIM, "bits": _LSH_BITS}
+
+_COS_SQL = """ROUND(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         (SQRT(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+          SQRT(LIST_DOT_PRODUCT(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 4)"""
 
 ORACLES: dict[str, str] = {
     "ann_cosine_topk": """
@@ -174,13 +330,29 @@ ORACLES: dict[str, str] = {
                      SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
               > 0.2
     """,
+    "ann_lsh_buckets": _LSH_SIGS_CTE + """
+        SELECT tbl, bucket, COUNT(*) AS bucket_size,
+               MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+        FROM sigs GROUP BY tbl, bucket
+    """,
+    "ann_lsh_pairs": _LSH_SIGS_CTE + """, cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_shared
+          FROM sigs a JOIN sigs b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_shared, %s AS cosine
+        FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                  JOIN embeddings eb ON eb.vec_id = id_b
+    """ % _COS_SQL,
 }
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_fast": embedding_near_dups_fast,
-    "ann_lsh_buckets": ann_lsh_buckets,  # rows-only
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_pairs": ann_lsh_pairs,
 }
 
 # the fast variant computes the same pairs as the oracle-checked slow one
