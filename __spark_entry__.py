@@ -93,13 +93,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfminer_spark.ops import multimodal, relational, similarity, textops
+    from pdfminer_spark.ops import (layoutops, multimodal, relational,
+                                    similarity, textops)
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q.update(textops.QUERIES)
     q.update(similarity.QUERIES)
     q.update(multimodal.QUERIES)
+    q.update(layoutops.QUERIES)
     q["extract_documents"] = extract_documents
     q["extract_conversations"] = extract_conversations
     q["curate_documents"] = curate_documents
@@ -107,13 +109,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdfminer_spark.ops import multimodal, relational, similarity, textops
+    from pdfminer_spark.ops import (layoutops, multimodal, relational,
+                                    similarity, textops)
 
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
     o.update(textops.ORACLES)
     o.update(similarity.ORACLES)
     o.update(multimodal.ORACLES)
+    o.update(layoutops.ORACLES)
+    # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
+    # conversation assembly gets a full oracle (r1 verdict missing #2)
+    o["extract_conversations"] = """
+        WITH turns AS (
+          SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx,
+                 text
+          FROM documents
+        )
+        SELECT conv_id,
+               COUNT(*) AS n_turns,
+               STRING_AGG(text, CHR(10) ORDER BY turn_idx) AS doc_text
+        FROM turns GROUP BY conv_id
+    """
     # the HTML wrap in _transcripts_from_documents adds no extractable
     # chrome text, so main-content extraction round-trips to the raw text
     o["extract_documents"] = """
