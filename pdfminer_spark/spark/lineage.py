@@ -85,10 +85,14 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     if done is not None:
         n_done = done.count()
         src = src.join(F.broadcast(done), "pk", "left_anti")
+    # the outstanding bucket list is tiny (<= num_buckets ints) and known
+    # before extraction; collecting it lets the post-commit read-back
+    # partition-prune to just-written pk= directories instead of
+    # rescanning every previously committed bucket on resume
+    todo_pks = [r.pk for r in
+                src.select("pk").distinct().orderBy("pk").collect()]
     if fail_after_buckets is not None:
-        todo_pks = [r.pk for r in
-                    src.select("pk").distinct().orderBy("pk")
-                    .limit(fail_after_buckets).collect()]
+        todo_pks = todo_pks[:fail_after_buckets]
         src = src.filter(F.col("pk").isin(todo_pks))
     extracted = extract_transcripts(
         src.drop("pk"), page_numbers=page_numbers,
@@ -103,12 +107,10 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame, out_dir: str,
      .partitionBy("pk")
      .parquet(output_path))
     # lineage from the just-written buckets, read back so the checksum
-    # reflects exactly what was committed
-    this_run = spark.read.parquet(output_path)
-    if done is not None:
-        this_run = this_run.join(F.broadcast(done), "pk", "left_anti")
-    if fail_after_buckets is not None:
-        this_run = this_run.filter(F.col("pk").isin(todo_pks))
+    # reflects exactly what was committed; the isin on the partition
+    # column prunes the scan to this run's pk= directories only
+    this_run = (spark.read.parquet(output_path)
+                .filter(F.col("pk").isin(todo_pks)))
     lineage = lineage_of(this_run, run_id)
     lineage.write.mode("append").parquet(lineage_path)
     n_processed = (spark.read.parquet(lineage_path)

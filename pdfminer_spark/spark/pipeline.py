@@ -199,24 +199,49 @@ def with_turn_order(extracted: DataFrame) -> DataFrame:
     return extracted.withColumn("turn_rank", F.row_number().over(w))
 
 
-def assemble_conversations(extracted: DataFrame) -> DataFrame:
+def assemble_conversations(extracted: DataFrame,
+                           segment_size: int = 256) -> DataFrame:
     """Per-conversation document: turn texts concatenated in turn order.
 
-    Single shuffle: groupBy conv_id with an array_sort over
-    (turn_idx, text) structs — no separate window pass needed."""
-    return (
+    Two-stage concat to cap skew (r1 verdict #6): turns first aggregate
+    per (conv_id, turn_idx // segment_size) — a giant conversation
+    spreads over ceil(T/segment_size) keys, so no single task ever
+    collects more than ``segment_size`` turn structs — then the ordered
+    segment STRINGS (already concatenated, far fewer and flatter than
+    raw structs) merge per conv_id. The final one-row-per-conversation
+    output is inherently conversation-sized; what the cap removes is the
+    monster collect_list buffer and the single-task hot key at the wide
+    stage. Both stages are map-side-combinable aggregates."""
+    seg = (F.col("turn_idx") / segment_size).cast("int")
+    segments = (
         extracted
-        .groupBy("conv_id")
+        .groupBy("conv_id", seg.alias("_seg"))
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("turn_idx", "text"))
             ).alias("_turns"),
-            F.count("*").alias("n_turns"),
-            F.sum("bytes_decoded").alias("bytes_decoded"),
+            F.count("*").alias("_n"),
+            F.sum("bytes_decoded").alias("_bytes"),
         )
         .withColumn(
-            "doc_text",
+            "_seg_text",
             F.array_join(F.transform("_turns", lambda s: s["text"]), "\n"),
         )
         .drop("_turns")
+    )
+    return (
+        segments
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_seg", "_seg_text"))
+            ).alias("_segs"),
+            F.sum("_n").alias("n_turns"),
+            F.sum("_bytes").alias("bytes_decoded"),
+        )
+        .withColumn(
+            "doc_text",
+            F.array_join(F.transform("_segs", lambda s: s["_seg_text"]), "\n"),
+        )
+        .drop("_segs")
     )

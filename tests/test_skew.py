@@ -35,3 +35,26 @@ def test_salting_preserves_rows(spark):
     out = salted_repartition(df, num_partitions=8, salt=8)
     assert out.count() == df.count()
     assert "_salt" not in out.columns
+
+
+def test_assembly_segment_cap_semantics(spark):
+    """Two-stage segmented assembly must produce byte-identical documents
+    to a single-shot ordered concat, including for a conversation far
+    larger than the segment size (r1 verdict #6: no monster
+    collect_list row at the wide stage)."""
+    from pdfminer_spark.spark.pipeline import assemble_conversations
+
+    rows = [("giant", i, "t%04d" % i, 10) for i in range(500)]
+    rows += [("small", i, "s%d" % i, 5) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, bytes_decoded long")
+    out = {r["conv_id"]: r for r in
+           assemble_conversations(df, segment_size=16).collect()}
+    assert out["giant"]["n_turns"] == 500
+    assert out["giant"]["bytes_decoded"] == 5000
+    assert out["giant"]["doc_text"] == "\n".join("t%04d" % i for i in range(500))
+    assert out["small"]["doc_text"] == "s0\ns1\ns2"
+    # equality with the unsegmented formulation
+    one_shot = {r["conv_id"]: r["doc_text"] for r in
+                assemble_conversations(df, segment_size=1 << 30).collect()}
+    assert {k: v["doc_text"] for (k, v) in out.items()} == one_shot

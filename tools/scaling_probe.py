@@ -30,13 +30,20 @@ def main():
     df = build_transcripts_scaled(spark, n_turns=n_turns,
                                   num_partitions=cpus * 4).cache()
     n = df.count()
-    best = None
+    times: list[float] = []
     for _ in range(2):
         t0 = time.time()
         extract_transcripts(df, page_numbers=[0], salt=16,
                             num_partitions=cpus * 4).count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        times.append(time.time() - t0)
+    if abs(times[0] - times[1]) / min(times) > 0.15:
+        # the two passes disagree -> a noise phase touched one of them;
+        # one extra pass costs little and best-of-3 restores the signal
+        t0 = time.time()
+        extract_transcripts(df, page_numbers=[0], salt=16,
+                            num_partitions=cpus * 4).count()
+        times.append(time.time() - t0)
+    best = min(times)
     print(json.dumps({"cpus": cpus, "n_turns": n, "sec": round(best, 2),
                       "tps": round(n / best, 1)}))
     spark.stop()
