@@ -26,9 +26,13 @@ try:
         dec = Cipher(AES(key), modes.CBC(iv)).decryptor()
         return dec.update(data) + dec.finalize()
 
-except ImportError:  # pragma: no cover
-    def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-        raise NotImplementedError("AES support requires the 'cryptography' package")
+    def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+        enc = Cipher(AES(key), modes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
+
+except ImportError:  # no third-party dependency required (FIPS-197 KAT-
+    # validated pure fallback; see _aes.py and tests/test_crypto_r6.py)
+    from ._aes import aes_cbc_decrypt, aes_cbc_encrypt  # noqa: F401
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -220,7 +224,13 @@ class StandardSecurityHandlerV4(StandardSecurityHandler):
 
 
 class StandardSecurityHandlerV5(StandardSecurityHandlerV4):
-    """Revision 5/6 (AES-256)."""
+    """Revision 5/6 (AES-256).
+
+    R5 hashes passwords with a single SHA-256; R6 (ISO 32000-2,
+    Algorithm 2.B) iterates SHA-256/384/512 under an AES-128-CBC mixing
+    loop. The reference supports R5 only (pdfdocument.py:446-510); R6 is
+    implemented here from the public spec so AES-256-R6 corpora decrypt
+    instead of failing authentication (r1 ADVICE item)."""
 
     supported_revisions = (5, 6)
 
@@ -245,22 +255,40 @@ class StandardSecurityHandlerV5(StandardSecurityHandlerV4):
         if self.strf not in self.cfm:
             self.cfm[self.strf] = self.decrypt_aes256
 
+    @staticmethod
+    def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+        """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
+        SHA-256/384/512 selected by an AES-128-CBC mixing round; at
+        least 64 rounds, then continue until E[-1] <= round - 32."""
+        k = hashlib.sha256(password + salt + udata).digest()
+        i = 0
+        while True:
+            k1 = (password + k + udata) * 64
+            e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+            # first 16 bytes of E as a big-endian integer mod 3;
+            # 256 == 1 (mod 3), so that is the byte sum mod 3
+            digest = (hashlib.sha256, hashlib.sha384,
+                      hashlib.sha512)[sum(e[:16]) % 3]
+            k = digest(e).digest()
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                return k[:32]
+
+    def _pw_hash(self, password: bytes, salt: bytes,
+                 udata: bytes = b"") -> bytes:
+        if self.r == 5:
+            return hashlib.sha256(password + salt + udata).digest()
+        return self._hash_2b(password, salt, udata)
+
     def authenticate(self, password: bytes):
         password = password[:127]
-        h = hashlib.sha256(password)
-        h.update(self.o_validation_salt)
-        h.update(self.u)
-        if h.digest() == self.o_hash:
-            h = hashlib.sha256(password)
-            h.update(self.o_key_salt)
-            h.update(self.u)
-            return aes_cbc_decrypt(h.digest(), b"\x00" * 16, self.oe)
-        h = hashlib.sha256(password)
-        h.update(self.u_validation_salt)
-        if h.digest() == self.u_hash:
-            h = hashlib.sha256(password)
-            h.update(self.u_key_salt)
-            return aes_cbc_decrypt(h.digest(), b"\x00" * 16, self.ue)
+        u48 = self.u[:48]
+        if self._pw_hash(password, self.o_validation_salt, u48) == self.o_hash:
+            ikey = self._pw_hash(password, self.o_key_salt, u48)
+            return aes_cbc_decrypt(ikey, b"\x00" * 16, self.oe)
+        if self._pw_hash(password, self.u_validation_salt) == self.u_hash:
+            ikey = self._pw_hash(password, self.u_key_salt)
+            return aes_cbc_decrypt(ikey, b"\x00" * 16, self.ue)
         return None
 
     def decrypt_aes256(self, objid: int, genno: int, data: bytes) -> bytes:

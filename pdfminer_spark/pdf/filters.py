@@ -216,7 +216,8 @@ _LZW = {"LZWDecode", "LZW"}
 _A85 = {"ASCII85Decode", "A85"}
 _AHX = {"ASCIIHexDecode", "AHx"}
 _RL = {"RunLengthDecode", "RL"}
-_PASSTHROUGH = {"DCTDecode", "DCT", "CCITTFaxDecode", "CCF", "JPXDecode", "JBIG2Decode"}
+_CCITT = {"CCITTFaxDecode", "CCF"}
+_PASSTHROUGH = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode"}
 
 
 def decode_stream(attrs: dict, data: bytes) -> bytes:
@@ -243,6 +244,13 @@ def decode_stream(attrs: dict, data: bytes) -> bytes:
             data = asciihexdecode(data)
         elif name in _RL:
             data = rldecode(data)
+        elif name in _CCITT:
+            from .ccitt import ccittfax_decode
+
+            parms = resolve1(p)
+            parms = ({k: resolve1(v) for (k, v) in parms.items()}
+                     if isinstance(parms, dict) else {})
+            data = ccittfax_decode(data, parms)
         elif name in _PASSTHROUGH:
             pass  # image codecs: payload handed through as-is
         else:
@@ -258,4 +266,10 @@ def decode_stream(attrs: dict, data: bytes) -> bytes:
                     int_value(p.get("BitsPerComponent")) or 8,
                     data,
                 )
+            elif pred != 1:
+                # TIFF predictor 2 etc.: failing loud keeps the pipeline
+                # soft-fail path honest (status=error) instead of letting
+                # still-predicted bytes flow downstream as corrupt text
+                # (reference raises PDFNotImplementedError the same way)
+                raise FilterError("unsupported predictor: %d" % pred)
     return data
