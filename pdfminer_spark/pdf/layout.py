@@ -611,14 +611,29 @@ def group_textboxes(boxes: list, page_bbox) -> list:
     # FIFO only after the sorted portion drains, exactly like pop(0) on
     # the reference's partially-sorted list. A merge re-sorts everything
     # in the reference == flushing the tail into the heap here.
+    # initial pair distances as one numpy broadcast (same left-to-right
+    # float associativity as _boxes_dist -> bit-identical values)
+    import numpy as np
+
+    n = len(boxes)
+    bx0 = np.array([o.x0 for o in boxes])
+    by0 = np.array([o.y0 for o in boxes])
+    bx1 = np.array([o.x1 for o in boxes])
+    by1 = np.array([o.y1 for o in boxes])
+    area = (bx1 - bx0) * (by1 - by0)
+    D = ((np.maximum.outer(bx1, bx1) - np.minimum.outer(bx0, bx0))
+         * (np.maximum.outer(by1, by1) - np.minimum.outer(by0, by0))
+         - area[:, None] - area[None, :])
     heap: list = []
     tail: list = []
     seq = 0
-    for i in range(len(boxes)):
+    for i in range(n):
         o1 = boxes[i]
-        for j in range(i + 1, len(boxes)):
-            heap.append((0, _boxes_dist(o1, boxes[j]), seq, o1, boxes[j]))
+        Di = D[i].tolist()
+        for j in range(i + 1, n):
+            heap.append((0, Di[j], seq, o1, boxes[j]))
             seq += 1
+    del D
     heapq.heapify(heap)
     tail_pos = 0
     while True:

@@ -25,6 +25,20 @@ class LexerEOF(Exception):
 
 _NONSPC = re.compile(rb"\S")
 _EOL = re.compile(rb"[\r\n]")
+# master-regex fast path for the content-stream hot tokens: one .match
+# replaces whitespace skip + dispatch + per-class span scan. Lookaheads
+# make every fast match provably identical to the slow scanners: numbers
+# must not continue ([0-9] / [0-9.]), names must end at a non-'#'
+# delimiter ('#' escapes take the slow path), keywords end at the same
+# delimiter class either way. No match -> fall through unchanged.
+_FAST = re.compile(
+    rb"[ \t\n\r\f\v]*"
+    rb"(?:"
+    rb"(?P<f>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+))(?![0-9])"
+    rb"|(?P<i>[+-]?[0-9]+)(?![0-9.])"
+    rb"|/(?P<n>[^#/%\[\]()<>{}\s]*)(?=[/%\[\]()<>{}\s]|\Z)"
+    rb"|(?P<k>[A-Za-z][^#/%\[\]()<>{}\s]*)"
+    rb")")
 _END_LITERAL = re.compile(rb"[#/%\[\]()<>{}\s]")
 _END_NUMBER = re.compile(rb"[^0-9]")
 _END_KEYWORD = re.compile(rb"[#/%\[\]()<>{}\s]")
@@ -89,6 +103,28 @@ class Lexer:
         buf = self.buf
         n = len(buf)
         i = self.pos
+        m = _FAST.match(buf, i)
+        if m is not None:
+            self.pos = m.end()
+            g = m.group("i")
+            if g is not None:
+                return (m.start("i"), int(g))
+            g = m.group("f")
+            if g is not None:
+                return (m.start("f"), float(g))
+            g = m.group("n")
+            if g is not None:
+                try:
+                    text = g.decode("utf-8")
+                except UnicodeDecodeError:
+                    text = ""
+                return (m.start("n") - 1, Name(text))
+            g = m.group("k")
+            if g == b"true":
+                return (m.start("k"), True)
+            if g == b"false":
+                return (m.start("k"), False)
+            return (m.start("k"), KW(g))
         while True:
             m = _NONSPC.search(buf, i)
             if m is None:
