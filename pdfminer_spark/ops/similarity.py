@@ -276,6 +276,52 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PROBES = 2
+_IVF_TOPK = 10
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer cells -> probe the top cells by
+    centroid similarity -> exact search inside probed cells only.
+
+    The cell assignment here is the label column (the corpus's natural
+    clustering) and each centroid is the per-dimension MEDIAN of its
+    cell — medians are selection-based, so they are order-independent
+    and bit-identical across engines (a float mean would depend on
+    partial-aggregation order and could flip the discrete probe choice
+    between Spark and the oracle). Scale shape: the centroid table is
+    tiny (one row per cell — broadcast), the probe prunes the corpus to
+    n_probes/n_cells of its rows before any exact distance work, and the
+    exact top-k is TakeOrderedAndProject. At 100 TB the same plan holds
+    with k-means-trained centroids and a cell-bucketed table layout."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    comps = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (comps.groupBy("label", "pos")
+            .agg(F.median(F.col("v").cast("double")).alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_c"))
+            .select("label",
+                    F.transform("_c", lambda s: s["m"]).alias("centroid")))
+    ccos = _dot(F.col("centroid"), F.col("q_emb")) / (
+        _norm(F.col("centroid")) * _norm(F.col("q_emb")))
+    probed = (cent.crossJoin(F.broadcast(q))
+              .select("label", F.round(ccos, 4).alias("ccos"))
+              .orderBy(F.col("ccos").desc(), F.col("label").asc())
+              .limit(_IVF_PROBES)
+              .select("label"))
+    cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(probed), "label")
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb")))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(_IVF_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -347,12 +393,44 @@ ORACLES: dict[str, str] = {
     """ % _COS_SQL,
 }
 
+ORACLES["ann_ivf_topk"] = """
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    comps AS (
+      SELECT label, UNNEST(embedding) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, LIST(m ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, MEDIAN(v::DOUBLE) AS m
+            FROM comps GROUP BY label, pos)
+      GROUP BY label
+    ), probed AS (
+      SELECT label
+      FROM cent, q
+      ORDER BY ROUND(LIST_DOT_PRODUCT(centroid::DOUBLE[], q_emb::DOUBLE[]) /
+               (SQRT(LIST_DOT_PRODUCT(centroid::DOUBLE[], centroid::DOUBLE[])) *
+                SQRT(LIST_DOT_PRODUCT(q_emb::DOUBLE[], q_emb::DOUBLE[]))), 4)
+               DESC, label ASC
+      LIMIT %(probes)d
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(LIST_DOT_PRODUCT(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) /
+                 (SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  SQRT(LIST_DOT_PRODUCT(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))), 4)
+             AS cosine
+    FROM embeddings e JOIN probed USING (label), q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT %(topk)d
+""" % {"probes": _IVF_PROBES, "topk": _IVF_TOPK}
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_fast": embedding_near_dups_fast,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_pairs": ann_lsh_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 # the fast variant computes the same pairs as the oracle-checked slow one

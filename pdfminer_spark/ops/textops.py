@@ -197,6 +197,26 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_EST = 0.5
+
+
+def curate_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: banded MinHash LSH candidates ->
+    signature-estimated Jaccard >= 0.5 -> drop the higher doc_id of each
+    duplicate pair (keep-first rule) -> surviving documents.
+
+    The canonical corpus-dedup composition at 100 TB: candidates come
+    only from bucket joins (never all pairs), the kill set is a tiny
+    distinct id list, and the removal is a broadcast anti join against
+    the full corpus scan."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    kill = (pairs.where(F.col("est_jaccard") >= _NEAR_DUP_EST)
+            .select(F.col("id_b").alias("doc_id")).distinct())
+    d = _docs(spark, sf_dir)
+    return (d.join(F.broadcast(kill), "doc_id", "left_anti")
+            .select("doc_id", F.md5("text").alias("content_hash")))
+
+
 # -- SimHash ---------------------------------------------------------------------
 
 _SIMHASH_BITS = 64
@@ -469,6 +489,22 @@ ORACLES: dict[str, str] = {
     """ % (" + ".join(
         "CASE WHEN sa.sig%d = sb.sig%d THEN 1 ELSE 0 END" % (j, j)
         for j in range(_N_PERMS)), _N_PERMS),
+    "curate_near_dups": _BANDS_CTE + """, cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id
+        ), kill AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM cand JOIN sigs sa ON sa.doc_id = id_a
+                    JOIN sigs sb ON sb.doc_id = id_b
+          WHERE ROUND((%s)::DOUBLE / %d, 4) >= 0.5
+        )
+        SELECT d.doc_id, MD5(d.text) AS content_hash
+        FROM documents d LEFT JOIN kill k ON d.doc_id = k.doc_id
+        WHERE k.doc_id IS NULL
+    """ % (" + ".join(
+        "CASE WHEN sa.sig%d = sb.sig%d THEN 1 ELSE 0 END" % (j, j)
+        for j in range(_N_PERMS)), _N_PERMS),
     "doc_fingerprint": """
         WITH toks AS (
           SELECT doc_id,
@@ -637,6 +673,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "curate_near_dups": curate_near_dups,
     "simhash": simhash,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

