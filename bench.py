@@ -71,8 +71,10 @@ def run_headline_queries(spark) -> dict[str, float]:
     names = [
         "pricing_summary", "revenue_by_nation", "interval_self_join",
         "turn_ordering_window", "dedup_exact", "dedup_minhash",
+        "dedup_minhash_pairs", "simhash_pairs", "curate_near_dups",
         "token_count", "quality_score", "ann_cosine_topk",
-        "embedding_near_dups_fast", "media_features", "extract_documents",
+        "embedding_near_dups_fast", "ann_lsh_pairs", "ann_ivf_topk",
+        "media_features", "layout_boxes", "extract_documents",
     ]
     qs = entry.queries()
     out = {}
