@@ -78,3 +78,45 @@ def test_object_stream():
     parser = _FlushingParser(TESTDATA)
     objs = list(parser.iter_objects())
     assert objs == OBJS
+
+
+def test_fast_path_equals_slow_path_on_random_streams():
+    """The master-regex fast path must produce the exact token stream the
+    slow scanners produce: monkeypatch the fast regex to never match and
+    compare (position, token) sequences over adversarial random input."""
+    import random
+    import re
+
+    from pdfminer_spark.pdf import lexer as LX
+
+    def tokens(buf):
+        lx = LX.Lexer(buf)
+        out = []
+        while True:
+            try:
+                out.append(lx.next_token())
+            except LX.LexerEOF:
+                break
+            if len(out) > 10000:
+                break
+        return out
+
+    rng = random.Random(1234)
+    atoms = [b" ", b"\n", b"\t", b"/Name", b"/", b"/A#42B", b"12", b"-3",
+             b"+4.5", b".", b".5", b"1.", b"12.34", b"+-2", b"1..2",
+             b"true", b"false", b"null", b"Tj", b"T*", b"BT", b"ET",
+             b"(str(nest)ed)", b"<< /K 1 >>", b"[1 2]", b"<AB CD>",
+             b"% comment\n", b"{", b"}", b"'", b'"', b"ab#cd", b"A1z",
+             b"\x00", b"\xff", b"e", b"-", b"+", b"#"]
+    never = re.compile(rb"(?!x)x(?P<f>.)(?P<i>.)(?P<n>.)(?P<k>.)")
+    for it in range(300):
+        buf = b"".join(rng.choice(atoms)
+                       for _ in range(rng.randrange(1, 40)))
+        fast = tokens(buf)
+        orig = LX._FAST
+        LX._FAST = never
+        try:
+            slow = tokens(buf)
+        finally:
+            LX._FAST = orig
+        assert fast == slow, (buf, fast, slow)
