@@ -93,8 +93,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfminer_spark.ops import (layoutops, multimodal, relational,
-                                    similarity, textops)
+    from pdfminer_spark.ops import (datasetops, layoutops, multimodal,
+                                    relational, similarity, textops)
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     q.update(multimodal.QUERIES)
     q.update(layoutops.QUERIES)
+    q.update(datasetops.QUERIES)
     q["extract_documents"] = extract_documents
     q["extract_conversations"] = extract_conversations
     q["curate_documents"] = curate_documents
@@ -109,8 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdfminer_spark.ops import (layoutops, multimodal, relational,
-                                    similarity, textops)
+    from pdfminer_spark.ops import (datasetops, layoutops, multimodal,
+                                    relational, similarity, textops)
 
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.ORACLES)
     o.update(multimodal.ORACLES)
     o.update(layoutops.ORACLES)
+    o.update(datasetops.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)
     o["extract_conversations"] = """

@@ -1,0 +1,156 @@
+"""Dataset-preparation operators over the ``documents`` table: the
+training-data pipeline steps that sit between extraction/dedup and
+tokenization — PII scrubbing, deterministic stratified sampling, and
+context-window chunk packing. All JVM-side expressions (regex / array
+slicing / hash arithmetic), each with a DuckDB oracle.
+
+Regex dialect note: patterns stick to the syntax subset Java regex and
+RE2 (DuckDB) interpret identically — character classes, bounded repeats,
+alternation; no backreferences or lookarounds.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import _docs, _hex2int_sql, _hex2long
+
+# -- PII scrubbing -----------------------------------------------------------------
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PHONE = "[+]?[0-9][0-9() -]{7,14}[0-9]"
+_IPV4 = ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}")
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / phone numbers / IPv4s with typed placeholders and
+    report per-kind match counts (the audit trail a compliance pass
+    needs). Order matters: emails first (their local parts can contain
+    digits a phone pattern could eat), then IPs, then phones."""
+    d = _docs(spark, sf_dir)
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL), F.lit(0)))
+    step1 = F.regexp_replace("text", _EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(_IPV4), F.lit(0)))
+    step2 = F.regexp_replace(step1, _IPV4, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(step2, F.lit(_PHONE), F.lit(0)))
+    step3 = F.regexp_replace(step2, _PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        step3.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+# -- stratified sampling --------------------------------------------------------------
+
+# per-stratum keep-rate in percent; stratum = doc_id % 3 models a
+# source-shard quality tier (common when mixing crawl snapshots)
+_STRATA_RATES = (100, 50, 10)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling with per-stratum rates: keep a doc iff
+    the first 32 bits of md5(doc_id) mod 100 fall under its stratum's
+    rate. Content-derived, so re-runs and resumes select the identical
+    sample on any cluster size — the property random() sampling lacks."""
+    d = _docs(spark, sf_dir)
+    stratum = (F.col("doc_id") % 3).cast("int")
+    ticket = _hex2long(F.md5(F.col("doc_id").cast("string")), 1) % 100
+    rate = (F.when(stratum == 0, _STRATA_RATES[0])
+            .when(stratum == 1, _STRATA_RATES[1])
+            .otherwise(_STRATA_RATES[2]))
+    return (d.select("doc_id", stratum.alias("stratum"),
+                     ticket.alias("ticket").cast("int"))
+            .where(F.col("ticket") < rate))
+
+
+# -- context-window chunk packing --------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows (64 tokens,
+    stride 56) — the packing step before tokenization. One explode over
+    a per-doc chunk-index sequence; the window is an array slice, so no
+    self-join and no Python.
+
+    Scale: output rows ~= tokens/stride; the explode is map-side only
+    (no shuffle at all — chunking composes with the scan)."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.trim(F.col("text")), "\\s+"),
+                     lambda w: w != "")
+    n = F.size(words)
+    n_chunks = F.floor((n - 1) / _CHUNK_STRIDE) + 1
+    idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    base = d.select("doc_id", words.alias("w"), idx.alias("chunk_idx")) \
+            .where(F.size("w") > 0)
+    chunk = F.slice("w", F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+                    _CHUNK_TOKENS)
+    return base.select(
+        "doc_id", "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "pii_scrub": """
+        WITH s1 AS (
+          SELECT doc_id, text,
+                 LEN(REGEXP_EXTRACT_ALL(text, '{email}')) AS n_emails,
+                 REGEXP_REPLACE(text, '{email}', '<EMAIL>', 'g') AS t1
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+                 LEN(REGEXP_EXTRACT_ALL(t1, '{ip}')) AS n_ips,
+                 REGEXP_REPLACE(t1, '{ip}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               REGEXP_REPLACE(t2, '{phone}', '<PHONE>', 'g') AS clean_text,
+               n_emails, n_ips,
+               LEN(REGEXP_EXTRACT_ALL(t2, '{phone}')) AS n_phones
+        FROM s2
+    """.format(email=_EMAIL, ip=_IPV4, phone=_PHONE),
+    "stratified_sample": """
+        WITH t AS (
+          SELECT doc_id, (doc_id %% 3)::INT AS stratum,
+                 (%s %% 100)::INT AS ticket
+          FROM documents
+        )
+        SELECT doc_id, stratum, ticket
+        FROM t
+        WHERE ticket < CASE stratum WHEN 0 THEN %d WHEN 1 THEN %d
+                                    ELSE %d END
+    """ % ((_hex2int_sql("MD5(doc_id::VARCHAR)", 1),) + _STRATA_RATES),
+    "pack_chunks": """
+        WITH w AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, w,
+                 UNNEST(RANGE(0, FLOOR((LEN(w) - 1) / {stride})::BIGINT + 1))
+                   AS chunk_idx
+          FROM w WHERE LEN(w) > 0
+        )
+        SELECT doc_id, chunk_idx::INT AS chunk_idx,
+               ARRAY_TO_STRING(w[chunk_idx * {stride} + 1 :
+                                 chunk_idx * {stride} + {size}], ' ')
+                 AS chunk_text,
+               LEN(w[chunk_idx * {stride} + 1 :
+                     chunk_idx * {stride} + {size}]) AS n_tokens
+        FROM idx
+    """.format(stride=_CHUNK_STRIDE, size=_CHUNK_TOKENS),
+}
+
+QUERIES = {
+    "pii_scrub": pii_scrub,
+    "stratified_sample": stratified_sample,
+    "pack_chunks": pack_chunks,
+}

@@ -1,0 +1,72 @@
+"""Dataset-prep operator tests: PII redaction on seeded content,
+sampling determinism, chunk packing overlap invariants."""
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    rows = [
+        (0, "contact alice.smith+x@example.co.uk or call +1 (415) 555-0100"),
+        (1, "server at 192.168.1.254 responded; mail root@host.io"),
+        (2, "no sensitive content here at all"),
+    ]
+    d = tmp_path_factory.mktemp("piidocs")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        d / "documents.parquet")
+    return str(d)
+
+
+def test_pii_scrub_redacts(spark, pii_dir):
+    from pdfminer_spark.ops.datasetops import pii_scrub
+
+    out = {r["doc_id"]: r for r in pii_scrub(spark, pii_dir).collect()}
+    assert "<EMAIL>" in out[0]["clean_text"]
+    assert "<PHONE>" in out[0]["clean_text"]
+    assert "alice" not in out[0]["clean_text"]
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert "<IP>" in out[1]["clean_text"] and out[1]["n_ips"] == 1
+    assert out[1]["n_emails"] == 1
+    assert out[2]["clean_text"] == "no sensitive content here at all"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from pdfminer_spark.ops.datasetops import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(spark, SF_DIR).collect()}
+    b = {r["doc_id"] for r in stratified_sample(spark, SF_DIR).collect()}
+    assert a == b  # content-derived: identical on re-run
+    rows = stratified_sample(spark, SF_DIR).collect()
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault(r["stratum"], 0)
+        by_stratum[r["stratum"]] += 1
+    # stratum 0 keeps everything (~167 docs of 500); 1 about half; 2 ~10%
+    assert by_stratum[0] > by_stratum[1] > by_stratum[2]
+    assert all(r["ticket"] < 100 for r in rows)
+
+
+def test_pack_chunks_overlap_reconstructs(spark):
+    from pdfminer_spark.ops.datasetops import (_CHUNK_STRIDE, _CHUNK_TOKENS,
+                                               pack_chunks)
+
+    rows = pack_chunks(spark, SF_DIR).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r["doc_id"], []).append(r)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    texts = {r["doc_id"]: r["text"].split() for r in d}
+    for (doc_id, chunks) in list(docs.items())[:50]:
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        words = texts[doc_id]
+        for c in chunks:
+            start = c["chunk_idx"] * _CHUNK_STRIDE
+            expect = words[start:start + _CHUNK_TOKENS]
+            assert c["chunk_text"].split() == expect
+            assert c["n_tokens"] == len(expect) > 0
+        # full coverage: the last chunk reaches the document's end
+        last = chunks[-1]
+        assert last["chunk_idx"] * _CHUNK_STRIDE + last["n_tokens"] == len(words)
