@@ -97,7 +97,74 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- benchmark decontamination ---------------------------------------------------
+
+_CONTAM_N = 8  # word n-gram size used for eval-set overlap
+
+
+def _gram_hashes():
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= _CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_CONTAM_N - 1)),
+            lambda i: F.md5(F.array_join(F.slice(words, i, _CONTAM_N), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-8-gram with the held-out eval set (docs with doc_id % 100 == 7
+    stand in for the benchmark suite). Output: contaminated docs with the
+    overlapping-gram count and ratio.
+
+    Scale shape: grams travel as md5 digests only; the eval-set gram
+    table is small by construction (benchmarks are), so the membership
+    test is a broadcast semi-ish join against the exploded training
+    grams — never a text comparison, never a cross product."""
+    d = _docs(spark, sf_dir)
+    grams = d.select("doc_id", _gram_hashes().alias("grams"))
+    bench = (grams.where(F.col("doc_id") % 100 == 7)
+             .select(F.explode("grams").alias("gram")).distinct())
+    train = (grams.where(F.col("doc_id") % 100 != 7)
+             .select("doc_id", F.size("grams").alias("n_grams"),
+                     F.explode("grams").alias("gram")))
+    hits = (train.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count("*").alias("n_contaminated")))
+    return hits.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round(F.col("n_contaminated") /
+                F.greatest(F.col("n_grams"), F.lit(1)), 4).alias("ratio"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "contamination_check": """
+        WITH grams AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(CASE WHEN LEN(w) >= {n}
+                   THEN [MD5(ARRAY_TO_STRING(w[i : i + {n} - 1], ' '))
+                         FOR i IN RANGE(1, LEN(w) - {n} + 2)]
+                   ELSE [] END) AS grams
+          FROM (SELECT doc_id,
+                       LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                                   '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM documents)
+        ), bench AS (
+          SELECT DISTINCT UNNEST(grams) AS gram
+          FROM grams WHERE doc_id % 100 = 7
+        ), train AS (
+          SELECT doc_id, LEN(grams) AS n_grams, UNNEST(grams) AS gram
+          FROM grams WHERE doc_id % 100 <> 7
+        )
+        SELECT doc_id, n_grams, COUNT(*) AS n_contaminated,
+               ROUND(COUNT(*)::DOUBLE / GREATEST(n_grams, 1), 4) AS ratio
+        FROM train JOIN bench USING (gram)
+        GROUP BY doc_id, n_grams
+    """.format(n=_CONTAM_N),
     "pii_scrub": """
         WITH s1 AS (
           SELECT doc_id, text,
@@ -151,6 +218,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "pii_scrub": pii_scrub,
+    "contamination_check": contamination_check,
     "stratified_sample": stratified_sample,
     "pack_chunks": pack_chunks,
 }

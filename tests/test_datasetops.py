@@ -70,3 +70,21 @@ def test_pack_chunks_overlap_reconstructs(spark):
         # full coverage: the last chunk reaches the document's end
         last = chunks[-1]
         assert last["chunk_idx"] * _CHUNK_STRIDE + last["n_tokens"] == len(words)
+
+
+def test_contamination_check_flags_overlap(spark, tmp_path):
+    from pdfminer_spark.ops.datasetops import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = [
+        (7, bench_text),                                   # eval doc
+        (1, "prefix words " + bench_text + " suffix words"),  # contaminated
+        (2, " ".join("clean%d" % i for i in range(30))),      # clean
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in
+           contamination_check(spark, str(tmp_path)).collect()}
+    assert 1 in out and out[1]["n_contaminated"] >= 1
+    assert 2 not in out          # clean doc never flagged
+    assert 7 not in out          # the eval doc itself is not training data
