@@ -127,12 +127,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hex2long(h, 1).alias("h1"),
         _hex2long(h, 9).alias("h2"),
     )
-    aggs = [
-        F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MH_PRIME))
-        .alias("sig%d" % j)
-        for j in range(_N_PERMS)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    # permutations as a projection, aggregation as trivial mins: the
+    # combined 64-expression agg compiled ~7s of one-time codegen; the
+    # split keeps both generated classes small (cold run 9s -> ~3s)
+    perms = hashed.select(
+        "doc_id",
+        *[((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MH_PRIME))
+          .alias("m%d" % j) for j in range(_N_PERMS)],
+    )
+    return perms.groupBy("doc_id").agg(
+        *[F.min("m%d" % j).alias("sig%d" % j) for j in range(_N_PERMS)])
 
 
 def _band_expr(j: int):
