@@ -44,10 +44,10 @@ def seeded_dir(tmp_path_factory):
 
 
 def test_lsh_pairs_full_recall_on_seeded_near_dups(spark, seeded_dir):
-    """Every planted cos>=0.99 pair must be an LSH candidate: per-band
-    P = (1 - theta/pi)^8 ~ 0.92 at cos 0.999, so P(miss all 16 tables)
-    ~ (1-0.92^8)^... effectively zero; deterministic weights make this a
-    hard assertion, not a flaky one."""
+    """Every planted cos>=0.99 pair must be an LSH candidate: per-table
+    P = (1 - theta/pi)^16 ~ 0.8 at cos 0.999, so P(miss all 16 tables)
+    ~ 0.2^16 ~ 1e-11; deterministic weights make this a hard assertion,
+    not a flaky one."""
     from pdfminer_spark.ops.similarity import ann_lsh_pairs
 
     planted = {(90 + 2 * k, 91 + 2 * k) for k in range(5)}
@@ -57,17 +57,23 @@ def test_lsh_pairs_full_recall_on_seeded_near_dups(spark, seeded_dir):
     assert not missed, f"LSH missed planted near-dups: {missed}"
     for p in planted:
         assert got[p]["cosine"] >= 0.98
-        # true near-dups collide in many tables, not just one
-        assert got[p]["n_shared"] >= 8
+        # true near-dups collide in several tables, not just one
+        # (planted cosines are ~0.987: p^16 ~ 0.43, E[n_shared] ~ 7;
+        # observed 4..9 for this seed — deterministic, not flaky)
+        assert got[p]["n_shared"] >= 3
 
 
-def test_lsh_candidates_are_bounded(spark, seeded_dir):
-    """The candidate set must stay far below the O(n^2) cross product
-    (that is the whole point of bucketing)."""
+def test_lsh_candidate_rate_is_bounded(spark, seeded_dir):
+    """VERDICT r2 #1: r=8 left a ~6% random collision rate (still
+    Theta(n^2)); at r=16 the expected random rate is T/2^r ~ 2.4e-4, so
+    the candidate set (planted near-dups included) must stay under 0.5%
+    of all pairs. This is the capacity assertion that makes the scale
+    claim in the docstring checkable."""
     from pdfminer_spark.ops.similarity import ann_lsh_pairs
 
     n_pairs = ann_lsh_pairs(spark, seeded_dir).count()
-    assert n_pairs < 100 * 99 / 2 * 0.25
+    assert n_pairs < 100 * 99 / 2 * 0.005, (
+        f"candidate rate {n_pairs / (100 * 99 / 2):.4f} >= 0.5%")
 
 
 def test_ivf_probes_prune_and_rank(spark):
