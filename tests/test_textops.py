@@ -91,6 +91,53 @@ def test_simhash_pairs_hamming_and_seeded_dup(spark, tmp_path):
     assert all(h <= 3 for h in pairs.values())
 
 
+def _sim_df(spark, fps):
+    """(doc_id, simhash) frame from a list of 64-bit ints."""
+    return spark.createDataFrame(
+        [(i, "%08x%08x" % (fp >> 32, fp & 0xFFFFFFFF))
+         for i, fp in enumerate(fps)],
+        "doc_id long, simhash string")
+
+
+def test_simhash_manku_hamming3_completeness(spark):
+    """Any hamming<=3 pair must be found: <=3 flipped bits touch <=3 of
+    the 6 blocks, so >=1 choose-3 combination key matches. Worst cases:
+    3 flips spread over 3 different blocks, 3 flips inside one block,
+    flips straddling the two 32-bit halves."""
+    from pdfminer_spark.ops.textops import _simhash_cand
+
+    base = 0xDEADBEEF12345678
+    cases = [
+        base ^ (1 << 32) ^ (1 << 43) ^ (1 << 54),  # blocks 0,1,2 (h1)
+        base ^ (1 << 32) ^ (1 << 33) ^ (1 << 34),  # all inside block 0
+        base ^ (1 << 32) ^ (1 << 0) ^ (1 << 31),   # h1 block 0 + h2 blocks 3,5
+        base ^ (1 << 62),                          # hamming 1
+        base,                                      # hamming 0
+    ]
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           _simhash_cand(_sim_df(spark, [base] + cases)).collect()}
+    assert out[(0, 1)] == 3 and out[(0, 2)] == 3 and out[(0, 3)] == 3
+    assert out[(0, 4)] == 1 and out[(0, 5)] == 0
+
+
+def test_simhash_manku_candidate_rate_bound(spark):
+    """VERDICT r2 #2: the old 4x16-bit chunk join collided randomly at
+    ~4/2^16 (an n^2/2^17 term); Manku ~32-bit keys collide at ~20/2^31,
+    so 300 random fingerprints (~45k pairs) must yield ZERO candidates
+    beyond the planted near-dup."""
+    import random
+
+    from pdfminer_spark.ops.textops import _simhash_candidates
+
+    rng = random.Random(42)
+    fps = [rng.getrandbits(64) for _ in range(300)]
+    fps.append(fps[0] ^ (1 << 7))  # one planted hamming-1 pair
+    cands = {(r["id_a"], r["id_b"]) for r in
+             _simhash_candidates(_sim_df(spark, fps)).collect()}
+    assert (0, 300) in cands
+    assert len(cands) <= 2, f"random-collision candidates: {cands}"
+
+
 def test_curate_near_dups_keep_first(spark):
     """Near-dup removal keeps the lower doc_id of every J>=0.8 pair and
     never removes a document that has no candidate partner."""
