@@ -138,9 +138,41 @@ def test_simhash_manku_candidate_rate_bound(spark):
     assert len(cands) <= 2, f"random-collision candidates: {cands}"
 
 
-def test_curate_near_dups_keep_first(spark):
-    """Near-dup removal keeps the lower doc_id of every J>=0.8 pair and
-    never removes a document that has no candidate partner."""
+def test_curate_near_dups_chain_keeps_one_per_cluster(spark, tmp_path):
+    """VERDICT r2 #3: on a duplicate chain A~B~C (A not similar to C)
+    the connected-component semantics keeps exactly ONE member of the
+    cluster — the minimum doc_id — instead of the old keep-first rule's
+    order-artifact deletions; unrelated docs always survive.
+
+    Fixture: A = X+Z, B = X+Z+Y, C = Z+Y over disjoint word blocks, so
+    J(A,B) = J(B,C) ~ 0.64 (both > threshold 0.45) while
+    J(A,C) ~ 0.29 (< threshold): a genuine chain, verified below."""
+    import pandas as pd
+
+    X = ["x%d" % i for i in range(30)]
+    Y = ["y%d" % i for i in range(30)]
+    Z = ["z%d" % i for i in range(26)]
+    rows = [(0, " ".join(X + Z)), (1, " ".join(X + Z + Y)),
+            (2, " ".join(Z + Y)),
+            (3, " ".join("u%d" % i for i in range(30)))]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    from pdfminer_spark.ops.textops import curate_near_dups, dedup_minhash_pairs
+
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup_minhash_pairs(spark, str(tmp_path)).collect()}
+    assert est[(0, 1)] >= 0.45 and est[(1, 2)] >= 0.45  # chain edges
+    assert est.get((0, 2), 0.0) < 0.45                  # ends not similar
+    kept = sorted(r["doc_id"] for r in
+                  curate_near_dups(spark, str(tmp_path), threshold=0.45)
+                  .collect())
+    assert kept == [0, 3]  # one survivor per cluster + the unrelated doc
+
+
+def test_curate_near_dups_cluster_representative(spark):
+    """Near-dup removal keeps the minimum doc_id of every duplicate
+    component (so the higher id of any J>=0.8 pair is always removed)
+    and never removes a document that has no candidate partner."""
     from pdfminer_spark.ops.textops import (curate_near_dups,
                                             dedup_minhash_pairs,
                                             ngram_jaccard_pairs)
