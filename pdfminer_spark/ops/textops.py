@@ -186,16 +186,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (a.join(b, ["band"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    sa = sigs.select(F.col("doc_id").alias("id_a"),
-                     *[F.col("sig%d" % j).alias("a%d" % j)
-                       for j in range(_N_PERMS)])
-    sb = sigs.select(F.col("doc_id").alias("id_b"),
-                     *[F.col("sig%d" % j).alias("b%d" % j)
-                       for j in range(_N_PERMS)])
-    agree = sum(
-        F.when(F.col("a%d" % j) == F.col("b%d" % j), 1).otherwise(0)
-        for j in range(_N_PERMS)
-    )
+    # signatures travel packed as ONE array<long> column per side
+    # (VERDICT r2 #5: 64 separate long columns paid per-column codegen +
+    # row overhead through two joins); agreement is a zip_with/filter
+    packed = sigs.select(
+        "doc_id",
+        F.array(*[F.col("sig%d" % j) for j in range(_N_PERMS)]).alias("sig"))
+    sa = packed.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = packed.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b",
