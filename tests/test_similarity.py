@@ -77,23 +77,46 @@ def test_lsh_candidate_rate_is_bounded(spark, seeded_dir):
 
 
 def test_ivf_probes_prune_and_rank(spark):
-    """IVF results come only from the probed cells, are rank-ordered,
-    and the top-1 matches the exact brute-force top-1 when it lives in a
-    probed cell (it does for this corpus: the query's own cell ranks
-    first by centroid similarity)."""
-    from pdfminer_spark.ops.similarity import ann_cosine_topk, ann_ivf_topk
+    """IVF results come only from the probed trained cells, are
+    rank-ordered, and never misrank within probed cells: every IVF hit
+    must appear in the exact ranking with the same cosine (results can
+    only LOSE to unprobed cells, by design)."""
+    from pdfminer_spark.ops.similarity import (_IVF_PROBES, ann_cosine_topk,
+                                               ann_ivf_topk)
 
     ivf = ann_ivf_topk(spark, SF_DIR).collect()
     assert len(ivf) == 10
     cos = [r["cosine"] for r in ivf]
     assert cos == sorted(cos, reverse=True)
-    assert len({r["label"] for r in ivf}) <= 2  # only probed cells
-    # approximate-by-design: results can only lose to unprobed cells,
-    # never misrank within probed ones — every IVF hit must appear in
-    # the exact ranking with the same cosine
+    assert len({r["cell"] for r in ivf}) <= _IVF_PROBES  # only probed cells
     exact = {r["vec_id"]: r["cosine"]
              for r in ann_cosine_topk(spark, SF_DIR).collect()}
     hits = [r for r in ivf if r["vec_id"] in exact]
     assert hits, "IVF top-10 shares nothing with exact top-25"
     for r in hits:
         assert exact[r["vec_id"]] == r["cosine"]
+
+
+def test_ivf_trained_cells_rank_consistency(spark):
+    """VERDICT r2 #6: cells are trained k-medians (k=8, not the corpus's
+    10 ground-truth labels). Training must be balanced enough that the
+    2-of-8 probe recovers a solid fraction of the exact top-10 (recall
+    floor pinned from the deterministic training on this corpus), and
+    the trained assignment must partition the corpus (every cell
+    nonempty here)."""
+    from pdfminer_spark.ops.similarity import (_emb, _ivf_assign, _IVF_K,
+                                               _ivf_centroids, ann_cosine_topk,
+                                               ann_ivf_topk)
+    import pyspark.sql.functions as F
+
+    cents = _ivf_centroids(spark, SF_DIR)
+    assert len(cents) == _IVF_K
+    cent_df = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    sizes = (_ivf_assign(_emb(spark, SF_DIR), cent_df)
+             .groupBy("cell").count().collect())
+    assert len(sizes) == _IVF_K  # no empty cell after training (this corpus)
+    exact10 = {r["vec_id"] for r in
+               ann_cosine_topk(spark, SF_DIR).limit(10).collect()}
+    ivf10 = {r["vec_id"] for r in ann_ivf_topk(spark, SF_DIR).collect()}
+    recall = len(exact10 & ivf10) / 10
+    assert recall >= 0.5, f"IVF recall@10 vs exact: {recall}"
