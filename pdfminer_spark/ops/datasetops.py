@@ -97,6 +97,68 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- unicode -> ascii text normalization -------------------------------------------
+
+# Mapping reproduced verbatim from the reference's normalization utility
+# (tools/latin2ascii.py:14-106), including its 0x00f9 -> 'o`' quirk —
+# parity over prettiness. Latin-1 accents/ligatures/typographic symbols
+# to ASCII strings; unmapped codepoints pass through unchanged.
+_LATIN2ASCII: dict[int, str] = {
+    0x00C0: "A`", 0x00C1: "A'", 0x00C2: "A^", 0x00C3: "A~", 0x00C4: "A:",
+    0x00C5: "A%", 0x00C6: "AE", 0x00C7: "C,", 0x00C8: "E`", 0x00C9: "E'",
+    0x00CA: "E^", 0x00CB: "E:", 0x00CC: "I`", 0x00CD: "I'", 0x00CE: "I^",
+    0x00CF: "I:", 0x00D0: "D'", 0x00D1: "N~", 0x00D2: "O`", 0x00D3: "O'",
+    0x00D4: "O^", 0x00D5: "O~", 0x00D6: "O:", 0x00D8: "O/", 0x00D9: "U`",
+    0x00DA: "U'", 0x00DB: "U~", 0x00DC: "U:", 0x00DD: "Y'", 0x00DF: "ss",
+    0x00E0: "a`", 0x00E1: "a'", 0x00E2: "a^", 0x00E3: "a~", 0x00E4: "a:",
+    0x00E5: "a%", 0x00E6: "ae", 0x00E7: "c,", 0x00E8: "e`", 0x00E9: "e'",
+    0x00EA: "e^", 0x00EB: "e:", 0x00EC: "i`", 0x00ED: "i'", 0x00EE: "i^",
+    0x00EF: "i:", 0x00F0: "d'", 0x00F1: "n~", 0x00F2: "o`", 0x00F3: "o'",
+    0x00F4: "o^", 0x00F5: "o~", 0x00F6: "o:", 0x00F8: "o/", 0x00F9: "o`",
+    0x00FA: "u'", 0x00FB: "u~", 0x00FC: "u:", 0x00FD: "y'", 0x00FF: "y:",
+    0x0152: "OE", 0x0153: "oe", 0x0132: "IJ", 0x0133: "ij", 0x1D6B: "ue",
+    0xFB00: "ff", 0xFB01: "fi", 0xFB02: "fl", 0xFB03: "ffi", 0xFB04: "ffl",
+    0xFB05: "ft", 0xFB06: "st",
+    0x2014: "--", 0x2015: "||", 0x2018: "`", 0x2019: "'",
+    0x201C: "``", 0x201D: "''",
+}
+
+# the sf documents are pure ASCII, so the registered query first
+# decorates deterministically: every 'and' becomes 'åñß×' — two
+# accent-mapped chars, one ss-ligature, and one UNMAPPED char (×,
+# 0x00d7) proving passthrough — then normalizes it back to ASCII.
+_NORM_DECOR_FROM = "and"
+_NORM_DECOR_TO = "åñß×"
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode -> ASCII normalization (reference tools/latin2ascii.py):
+    map each Latin-1 accent / ligature / typographic symbol to its ASCII
+    expansion, pass everything else through; report how many codepoints
+    were mapped.
+
+    Implementation is ONE pass, fully JVM-side: split to codepoints,
+    look each up in a map literal (try_element_at — null-safe under
+    ANSI), rejoin. No Python, no per-replacement regex scans (a chained
+    regexp_replace per mapping entry would re-scan the string ~80x)."""
+    d = _docs(spark, sf_dir)
+    decorated = F.replace(F.col("text"), F.lit(_NORM_DECOR_FROM),
+                          F.lit(_NORM_DECOR_TO))
+    m = F.create_map(*[F.lit(x)
+                       for cp, repl in sorted(_LATIN2ASCII.items())
+                       for x in (chr(cp), repl)])
+    chars = F.split(decorated, "")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(chars, lambda c: F.coalesce(F.try_element_at(m, c), c)),
+            "").alias("ascii_text"),
+        F.size(F.filter(chars,
+                        lambda c: F.try_element_at(m, c).isNotNull()))
+        .alias("n_mapped"),
+    )
+
+
 # -- benchmark decontamination ---------------------------------------------------
 
 _CONTAM_N = 8  # word n-gram size used for eval-set overlap
@@ -216,9 +278,33 @@ ORACLES: dict[str, str] = {
     """.format(stride=_CHUNK_STRIDE, size=_CHUNK_TOKENS),
 }
 
+ORACLES["normalize_text"] = """
+    WITH mapping(src, dst) AS (VALUES %(values)s),
+    dec AS (
+      SELECT doc_id, REPLACE(text, '%(dfrom)s', '%(dto)s') AS t
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(t, '')) AS c,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(t, ''), 1) AS i
+      FROM dec
+    )
+    SELECT doc_id,
+           STRING_AGG(COALESCE(dst, c), '' ORDER BY i) AS ascii_text,
+           SUM(CASE WHEN dst IS NULL THEN 0 ELSE 1 END)::INT AS n_mapped
+    FROM chars LEFT JOIN mapping ON c = src
+    GROUP BY doc_id
+""" % {
+    "values": ", ".join(
+        "('%s', '%s')" % (chr(cp), repl.replace("'", "''"))
+        for cp, repl in sorted(_LATIN2ASCII.items())),
+    "dfrom": _NORM_DECOR_FROM,
+    "dto": _NORM_DECOR_TO,
+}
+
 QUERIES = {
     "pii_scrub": pii_scrub,
     "contamination_check": contamination_check,
     "stratified_sample": stratified_sample,
     "pack_chunks": pack_chunks,
+    "normalize_text": normalize_text,
 }

@@ -88,3 +88,32 @@ def test_contamination_check_flags_overlap(spark, tmp_path):
     assert 1 in out and out[1]["n_contaminated"] >= 1
     assert 2 not in out          # clean doc never flagged
     assert 7 not in out          # the eval doc itself is not training data
+
+
+def test_normalize_text_reference_mapping(spark, tmp_path):
+    """latin2ascii parity (reference tools/latin2ascii.py): accents
+    expand to char+diacritic-mark, ligatures to their letters, ss for
+    sharp-s; unmapped codepoints (here the multiplication sign) pass
+    through; n_mapped counts mapped codepoints only. The registered
+    query decorates 'and' -> 'åñß×' first (the sf corpus is ASCII), so
+    the fixture includes one row exercising that path too."""
+    import pandas as pd
+
+    rows = [
+        (0, "Çà et là — sûr! ﬁn ﬂouß ×"),
+        (1, "band width"),         # 'and' -> 'åñß×' -> 'a%n~ss×'
+        (2, "plain ascii only"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    from pdfminer_spark.ops.datasetops import normalize_text
+
+    out = {r["doc_id"]: r for r in
+           normalize_text(spark, str(tmp_path)).collect()}
+    # note 0x00fb -> 'u~' (not 'u^'): reference quirk, reproduced
+    assert out[0]["ascii_text"] == "C,a` et la` -- su~r! fin flouss ×"
+    assert out[0]["n_mapped"] == 8
+    assert out[1]["ascii_text"] == "ba%n~ss× width"
+    assert out[1]["n_mapped"] == 3
+    assert out[2]["ascii_text"] == "plain ascii only"
+    assert out[2]["n_mapped"] == 0
