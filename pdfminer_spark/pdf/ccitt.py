@@ -176,6 +176,12 @@ def ccittg4_decode(data: bytes, columns: int, rows: int | None = None,
             br.align()
         if br.eof() or (rows is None and len(br.bits) - br.pos < 2):
             break
+        # with no /Rows bound, an all-zero tail is byte-boundary fill
+        # after a stream that ended without EOFB — a clean end, not a
+        # malformed code (no valid mode/EOFB sequence is all zeros):
+        # decode it as done instead of raising (ADVICE r2)
+        if rows is None and not br.bits[br.pos:].any():
+            break
         cur: list[int] = []
         a0 = -1
         color = 0  # 0 = white, 1 = black

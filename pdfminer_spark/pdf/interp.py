@@ -95,14 +95,23 @@ class TextState:
 
 
 class GraphicState:
-    __slots__ = ("linewidth",)
+    """Graphics state. Beyond the reference's PDFGraphicState (which
+    parses but discards G/g/RG/rg/K/k — pdfinterp.py:583-611 are no-op
+    bodies), stroke/fill color VALUES are carried and stamped onto Shape
+    records as metadata; no golden output prints them."""
+
+    __slots__ = ("linewidth", "scolor", "ncolor")
 
     def __init__(self):
         self.linewidth = 0
+        self.scolor = None  # stroking color components, tuple or None
+        self.ncolor = None  # non-stroking (fill) color components
 
     def copy(self):
         g = GraphicState.__new__(GraphicState)
         g.linewidth = self.linewidth
+        g.scolor = self.scolor
+        g.ncolor = self.ncolor
         return g
 
 
@@ -388,6 +397,7 @@ class Interpreter:
         """Classify into line/rect/curve (reference converter.py:73-104)."""
         shape = "".join(p[0] for p in path)
         ctm = self.ctm
+        gs = self.graphicstate
         if shape == "ml":
             (_, x0, y0) = path[0]
             (_, x1, y1) = path[1]
@@ -395,7 +405,7 @@ class Interpreter:
             (x1, y1) = apply_matrix_pt(ctm, (x1, y1))
             if x0 == x1 or y0 == y1:
                 self.cur_item.add(Shape("line", [(x0, y0), (x1, y1)],
-                                        self.graphicstate.linewidth))
+                                        gs.linewidth, gs.scolor, gs.ncolor))
                 return
         if shape == "mlllh":
             pts = [apply_matrix_pt(ctm, (p[1], p[2])) for p in path[:4]]
@@ -405,13 +415,14 @@ class Interpreter:
                 self.cur_item.add(Shape(
                     "rect",
                     [(x0, y0), (x2, y0), (x2, y2), (x0, y2)],
-                    self.graphicstate.linewidth))
+                    gs.linewidth, gs.scolor, gs.ncolor))
                 return
         pts = []
         for p in path:
             for i in range(1, len(p), 2):
                 pts.append(apply_matrix_pt(ctm, (p[i], p[i + 1])))
-        self.cur_item.add(Shape("curve", pts, self.graphicstate.linewidth))
+        self.cur_item.add(Shape("curve", pts, gs.linewidth,
+                                gs.scolor, gs.ncolor))
 
     def op_S(self):
         self._paint()
@@ -452,11 +463,33 @@ class Interpreter:
 
     def op_SCN(self):
         n = self.scs_n or 1
+        self.graphicstate.scolor = tuple(self.argstack[-n:])
         del self.argstack[-n:]
 
     def op_scn(self):
         n = self.ncs_n or 1
+        self.graphicstate.ncolor = tuple(self.argstack[-n:])
         del self.argstack[-n:]
+
+    # device-colorspace shorthands (reference pdfinterp.py:583-611 parses
+    # these for arity only; the values are captured here as metadata)
+    def op_G(self, gray):
+        self.graphicstate.scolor = (gray,)
+
+    def op_g(self, gray):
+        self.graphicstate.ncolor = (gray,)
+
+    def op_RG(self, r, g, b):
+        self.graphicstate.scolor = (r, g, b)
+
+    def op_rg(self, r, g, b):
+        self.graphicstate.ncolor = (r, g, b)
+
+    def op_K(self, c, m, y, k):
+        self.graphicstate.scolor = (c, m, y, k)
+
+    def op_k(self, c, m, y, k):
+        self.graphicstate.ncolor = (c, m, y, k)
 
     # -- text state -------------------------------------------------------------------
     def op_BT(self):
@@ -693,9 +726,9 @@ def _build_dispatch() -> dict[bytes, tuple[int, object]]:
         b"CS": (1, I.op_CS), b"cs": (1, I.op_cs),
         b"SCN": (0, I.op_SCN), b"scn": (0, I.op_scn),
         b"SC": (0, I.op_SCN), b"sc": (0, I.op_scn),
-        b"G": (1, I.op_noop), b"g": (1, I.op_noop),
-        b"RG": (3, I.op_noop), b"rg": (3, I.op_noop),
-        b"K": (4, I.op_noop), b"k": (4, I.op_noop),
+        b"G": (1, I.op_G), b"g": (1, I.op_g),
+        b"RG": (3, I.op_RG), b"rg": (3, I.op_rg),
+        b"K": (4, I.op_K), b"k": (4, I.op_k),
         b"sh": (1, I.op_noop),
         b"BT": (0, I.op_BT), b"ET": (0, I.op_noop),
         b"BX": (0, I.op_noop), b"EX": (0, I.op_noop),

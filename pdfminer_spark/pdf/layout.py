@@ -268,11 +268,16 @@ class TextGroupTBRL(TextGroup):
 
 
 class Shape(Item):
-    """Stroked/filled path (LTLine/LTRect/LTCurve collapse to this record)."""
+    """Stroked/filled path (LTLine/LTRect/LTCurve collapse to this record).
 
-    __slots__ = ("kind", "pts", "linewidth")
+    ``scolor``/``ncolor`` carry the graphics-state stroke/fill color
+    components at paint time (metadata only — no golden format emits
+    them; the reference's interpreter discards the values entirely,
+    pdfinterp.py:583-611)."""
 
-    def __init__(self, kind, pts, linewidth):
+    __slots__ = ("kind", "pts", "linewidth", "scolor", "ncolor")
+
+    def __init__(self, kind, pts, linewidth, scolor=None, ncolor=None):
         x0 = y0 = INF
         x1 = y1 = -INF
         for (x, y) in pts:
@@ -284,6 +289,8 @@ class Shape(Item):
         self.kind = kind
         self.pts = pts
         self.linewidth = linewidth
+        self.scolor = scolor
+        self.ncolor = ncolor
 
 
 class ImageItem(Item):

@@ -196,3 +196,25 @@ def test_ccitt_image_through_extract_images():
     # BMP body carries the decoded rows (white=1); verify pixel content
     expected = _unpack(ccittg4_decode(fax, cols, rows), cols, rows)
     assert np.array_equal(expected, 1 - img)
+
+
+def test_rows_none_zero_fill_tail_decodes_cleanly():
+    """ADVICE r2: a G4 stream that ends WITHOUT EOFB but carries 2-7
+    zero fill bits to the byte boundary must decode fully with
+    rows=None (the padding is fill, not a malformed code)."""
+    rng = np.random.RandomState(3)
+    img = (rng.rand(5, 23) > 0.6).astype(np.uint8)
+    data = g4_encode(img, 23)
+    # strip the appended EOFB (2x 12 bits) then re-pad with zeros
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    body = bits[:len(bits) - (len(bits) % 8)]  # full bytes
+    # locate end of row data: g4_encode padded AFTER EOFB; rebuild
+    # without it by re-encoding manually
+    bitstr = "".join("1" if b else "0" for b in bits)
+    core = bitstr[:bitstr.rindex("000000000001" * 2)]
+    padded = core + "0" * (-len(core) % 8)
+    assert len(padded) > len(core)  # the tail really carries fill bits
+    raw = np.packbits(
+        np.array([c == "1" for c in padded], dtype=np.uint8)).tobytes()
+    out = ccittg4_decode(raw, columns=23, rows=None, black_is_1=True)
+    assert _unpack(out, 23, 5).tolist() == img.tolist()
