@@ -91,6 +91,35 @@ def run_headline_queries(spark) -> dict[str, float]:
     return out
 
 
+def candidate_telemetry(spark) -> dict:
+    """Capacity telemetry (VERDICT r2 #9): candidate-pair volume of the
+    three LSH-style pair generators as a fraction of all C(n,2) pairs,
+    so a parameter regression back toward Theta(n^2) shows up in the
+    round record instead of hiding until corpus scale."""
+    from pdfminer_spark.ops.similarity import ann_lsh_pairs
+    from pdfminer_spark.ops.textops import (_simhash_candidates,
+                                            dedup_minhash_pairs, simhash)
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    doc_pairs = n_docs * (n_docs - 1) / 2
+    vec_pairs = n_vecs * (n_vecs - 1) / 2
+    mh = dedup_minhash_pairs(spark, SF_DIR).count()
+    sh = _simhash_candidates(simhash(spark, SF_DIR)).count()
+    lsh = ann_lsh_pairs(spark, SF_DIR).count()
+    spark.catalog.clearCache()
+    return {
+        "minhash_band_pairs": mh,
+        "minhash_rate": round(mh / doc_pairs, 6),
+        "simhash_manku_candidates": sh,
+        "simhash_rate": round(sh / doc_pairs, 6),
+        "lsh_sign_pairs": lsh,
+        "lsh_rate": round(lsh / vec_pairs, 6),
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+    }
+
+
 def fresh_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -120,6 +149,7 @@ def main() -> None:
         "n_turns": n_turns,
         "cpus": CPUS,
         "queries": queries,
+        "candidate_rates": candidate_telemetry(spark),
     })
 
     spark.stop()
@@ -146,6 +176,7 @@ def main() -> None:
         # measures software scaling, not phase/frequency drift. Early
         # exit once a rep's ratio clears the gate with margin.
         levels: dict[int, float] = {}
+        raw_ratios: list[float] = []
         eff = 0.0
         for rep in range(5):
             rep_tps: dict[int, float] = {}
@@ -156,10 +187,19 @@ def main() -> None:
                 tps = json.loads(out.stdout.strip().splitlines()[-1])["tps"]
                 rep_tps[cpus] = tps
                 levels[cpus] = max(levels.get(cpus, 0.0), tps)
+            raw = rep_tps[n_hi] / (4.0 * rep_tps[n_lo])
+            raw_ratios.append(round(raw, 3))
             # clamp: a >1.0 draw just means the lo probe of that rep was
             # noise-slowed — super-linear 4x scaling is not a claim to make
-            eff = max(eff, min(1.0, rep_tps[n_hi] / (4.0 * rep_tps[n_lo])))
-            if rep >= 1 and eff >= 0.86:
+            eff = max(eff, min(1.0, raw))
+            # VERDICT r2 #4: publish the unclamped per-rep ratios and
+            # their median alongside the clamped max; keep probing until
+            # the median clears the gate too (or reps run out)
+            med = sorted(raw_ratios)[len(raw_ratios) // 2] \
+                if len(raw_ratios) % 2 else round(
+                    (sorted(raw_ratios)[len(raw_ratios) // 2 - 1]
+                     + sorted(raw_ratios)[len(raw_ratios) // 2]) / 2, 3)
+            if rep >= 1 and eff >= 0.86 and med >= 0.8:
                 break
         result["scaling"] = {
             "n_cpus": n_lo,
@@ -167,6 +207,8 @@ def main() -> None:
             "4n_cpus": n_hi,
             "turns_per_sec_4n": levels[n_hi],
             "efficiency": round(eff, 3),
+            "rep_ratios_raw": raw_ratios,
+            "median_efficiency": med,
         }
 
     print(json.dumps(result))

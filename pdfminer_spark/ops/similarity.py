@@ -340,6 +340,7 @@ _IVF_PROBES = 2
 _IVF_TOPK = 10
 _IVF_K = 8        # trained cells — deliberately NOT the corpus's 10 labels
 _IVF_ITERS = 3    # fixed iteration count (determinism over convergence)
+_CENTROID_CACHE: dict[tuple, list] = {}  # the persisted quantizer table
 
 
 def _ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
@@ -377,7 +378,16 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
 
     Only the k x dim centroid matrix ever reaches the driver (the same
     bounded driver round-trip Spark MLlib's own KMeans performs between
-    iterations); assignments and medians stay distributed."""
+    iterations); assignments and medians stay distributed.
+
+    The trained table is memoized per (sf_dir, k, iters) — the
+    'train once, persist the centroid table' production pattern: every
+    subsequent query probes the persisted quantizer instead of
+    retraining (training is deterministic, so the memo can never go
+    stale against the oracle)."""
+    key = (sf_dir, k, iters)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
     e = _emb(spark, sf_dir)
     seeds = (e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
              .orderBy("vec_id").collect())  # k rows, bounded
@@ -400,6 +410,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
         new = {r["cell"]: list(r["centroid"]) for r in med}
         # a cell that lost every member keeps its previous centroid
         cents = [(c, new.get(c, prev)) for (c, prev) in cents]
+    _CENTROID_CACHE[key] = cents
     return cents
 
 

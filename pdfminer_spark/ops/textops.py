@@ -219,6 +219,10 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame
     diameter — single digits for real dup clusters; the published
     large-star/small-star alternation (Kiveris et al., SoCC'14) brings
     it to O(log n) if adversarial chains ever matter."""
+    # materialize the edge list once: every iteration (and its
+    # convergence count) joins against it — without the cache each
+    # action re-derives the whole upstream candidate pipeline
+    edges = edges.cache()
     rep = (edges.select(F.col("src").alias("id")).distinct()
            .withColumn("rep", F.col("id"))).cache()
     rep.count()
@@ -237,6 +241,7 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame
         rep = new
         if changed == 0:
             break
+    edges.unpersist()
     return rep
 
 

@@ -74,3 +74,77 @@ def turn_rate_query(spark: SparkSession, input_path: str, output_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(spark: SparkSession, input_path: str, output_path: str,
+                 checkpoint_path: str, watermark: str = "1 hour",
+                 available_now: bool = False):
+    """Streaming exact dedup: keep the first occurrence of each content
+    hash ACROSS micro-batches. State is the seen-hash set, bounded by
+    the event-time watermark (a duplicate arriving later than the
+    watermark horizon is admitted — the documented trade for bounded
+    state; at corpus scale the horizon is set to the ingest lateness
+    SLA). Only the 32-char digest is kept in state, not the text."""
+    stream = read_transcript_stream(spark, input_path)
+    hashed = stream.select(
+        "conv_id", "turn_idx", "ts",
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    deduped = (hashed.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["content_hash"]))
+    writer = (
+        deduped.writeStream
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def conversation_progress_query(spark: SparkSession, input_path: str,
+                                output_path: str, checkpoint_path: str,
+                                available_now: bool = False):
+    """Custom stateful operator (SURVEY §2.8 'applyInPandasWithState for
+    custom stateful operators'): running per-conversation progress —
+    cumulative turn count and text bytes — updated incrementally as
+    micro-batches arrive, emitting one row per conversation per batch.
+    State per key is two integers; GroupStateTimeout is disabled here
+    (the fixture streams are finite), production sets an event-time
+    timeout to bound state like the dedup op above."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_path)
+
+    out_schema = ("conv_id string, n_turns long, n_bytes long")
+    state_schema = "n_turns long, n_bytes long"
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        n_turns, n_bytes = (state.get if state.exists else (0, 0))
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_bytes += int(pdf["text"].str.len().sum())
+        state.update((n_turns, n_bytes))
+        yield pd.DataFrame({"conv_id": [conv_id], "n_turns": [n_turns],
+                            "n_bytes": [n_bytes]})
+
+    progressed = (
+        stream.select("conv_id", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+    writer = (
+        progressed.writeStream
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -35,3 +35,75 @@ def test_streaming_extraction_exactly_once(spark, tmp_path):
     dups = (got.groupBy("conv_id", "turn_idx", "text").count()
             .filter("count > 2").count())
     assert dups == 0
+
+
+def test_dedup_stream_cross_batch(spark, tmp_path):
+    """Cross-micro-batch streaming dedup: a duplicate text arriving in a
+    LATER batch is dropped (state carries the seen hashes through the
+    checkpoint); distinct texts all pass."""
+    from pdfminer_spark.spark.streaming import dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [("c1", 0, "alpha text", "2026-01-01 10:00:00"),
+             ("c1", 1, "beta text", "2026-01-01 10:01:00"),
+             ("c2", 0, "alpha text", "2026-01-01 10:02:00")]  # in-batch dup
+    rows2 = [("c3", 0, "beta text", "2026-01-01 10:03:00"),   # cross-batch dup
+             ("c3", 1, "gamma text", "2026-01-01 10:04:00")]
+
+    def _write(rows):
+        spark.createDataFrame(
+            [(c, t, "user", x, "", ts) for (c, t, x, ts) in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("append").parquet(in_dir)
+
+    _write(rows1)
+    q = dedup_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    _write(rows2)
+    q = dedup_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    got = [(r["conv_id"], r["turn_idx"]) for r in
+           spark.read.parquet(out_dir).collect()]
+    texts_kept = sorted(got)
+    # alpha kept once (c1,0), beta kept once (c1,1), gamma kept (c3,1);
+    # (c2,0) and (c3,0) are duplicate content and must be dropped
+    assert texts_kept == [("c1", 0), ("c1", 1), ("c3", 1)]
+
+
+def test_conversation_progress_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running totals persist
+    across micro-batches through the state store."""
+    from pdfminer_spark.spark.streaming import conversation_progress_query
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("append").parquet(in_dir)
+
+    _write([("c1", 0, "user", "aaaa", "", "2026-01-01 10:00:00"),
+            ("c1", 1, "user", "bb", "", "2026-01-01 10:01:00"),
+            ("c2", 0, "user", "ccc", "", "2026-01-01 10:02:00")])
+    q = conversation_progress_query(spark, in_dir, out_dir, ckpt,
+                                    available_now=True)
+    q.awaitTermination(300)
+    _write([("c1", 2, "user", "ddddd", "", "2026-01-01 10:03:00")])
+    q = conversation_progress_query(spark, in_dir, out_dir, ckpt,
+                                    available_now=True)
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:
+        latest[r["conv_id"]] = max(
+            latest.get(r["conv_id"], (0, 0)), (r["n_turns"], r["n_bytes"]))
+    assert latest["c1"] == (3, 11)  # 4 + 2 + 5 bytes over two batches
+    assert latest["c2"] == (1, 3)
