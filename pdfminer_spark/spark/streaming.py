@@ -136,7 +136,7 @@ def conversation_progress_query(spark: SparkSession, input_path: str,
         stream.select("conv_id", "text")
         .groupBy("conv_id")
         .applyInPandasWithState(update, out_schema, state_schema,
-                                "update", GroupStateTimeout.NoTimeout)
+                                "append", GroupStateTimeout.NoTimeout)
     )
     writer = (
         progressed.writeStream

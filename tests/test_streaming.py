@@ -66,12 +66,15 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
     _write(rows2)
     q = dedup_stream(spark, in_dir, out_dir, ckpt, available_now=True)
     q.awaitTermination(300)
-    got = [(r["conv_id"], r["turn_idx"]) for r in
-           spark.read.parquet(out_dir).collect()]
-    texts_kept = sorted(got)
-    # alpha kept once (c1,0), beta kept once (c1,1), gamma kept (c3,1);
-    # (c2,0) and (c3,0) are duplicate content and must be dropped
-    assert texts_kept == [("c1", 0), ("c1", 1), ("c3", 1)]
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in
+                 spark.read.parquet(out_dir).collect())
+    # one survivor per distinct text: alpha survives once (either copy —
+    # within-batch pick is arbitrary), beta once, gamma once
+    assert len(got) == 3
+    assert ("c1", 0) in got or ("c2", 0) in got   # alpha
+    assert ("c1", 1) in got                       # beta, batch 1
+    assert ("c3", 0) not in got                   # beta dup CROSS-batch: dropped
+    assert ("c3", 1) in got                       # gamma
 
 
 def test_conversation_progress_stateful(spark, tmp_path):
