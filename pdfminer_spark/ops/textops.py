@@ -505,6 +505,107 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- repetition signals (Gopher-style quality filter) -------------------------------
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters): distinct-token ratio and the fraction of the document
+    covered by its most frequent word-2-gram. Both are pure JVM
+    array/aggregate expressions over one explode — no self-join.
+
+    Scale: one shuffle keyed on (doc_id, gram) for the 2-gram counts
+    with map-side partial counts; the per-doc argmax is a window over
+    doc-local rows."""
+    d = _docs(spark, sf_dir, parallel=True)
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    base = d.select("doc_id", words.alias("w"),
+                    F.size(words).alias("n_words"),
+                    F.size(F.array_distinct(words)).alias("n_distinct"))
+    grams = F.when(
+        F.size(F.col("w")) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i),
+                                          F.element_at(F.col("w"), i + 1))),
+    ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
+    gexp = base.select("doc_id", "n_words", "n_distinct",
+                       F.explode_outer(grams).alias("gram"))
+    counts = (gexp.groupBy("doc_id", "n_words", "n_distinct", "gram")
+              .agg(F.count(F.col("gram")).alias("c")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("gram").asc_nulls_last())
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1))
+    return top.select(
+        "doc_id",
+        F.round(F.col("n_distinct") / F.greatest("n_words", F.lit(1)), 4)
+        .alias("distinct_ratio"),
+        # 2*c words are covered by c occurrences of the top 2-gram
+        F.round(F.least(F.lit(2) * F.coalesce(F.col("c"), F.lit(0))
+                        / F.greatest("n_words", F.lit(1)), F.lit(1.0)), 4)
+        .alias("top_bigram_frac"),
+    )
+
+
+# -- tf-idf keyword extraction -------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document, ranked by (term frequency DESC,
+    document frequency ASC, token ASC) — the tf-idf ordering expressed
+    in pure integers so the rank is bit-deterministic across engines
+    (a float tf*log(N/df) score ties at ulp level and can flip ranks
+    between engines).
+
+    Scale shape: the classic two-aggregation tf-idf plan — per-doc tf
+    (shuffle on doc_id, map-side combine), global df (shuffle on token;
+    tokens are zipf-bounded, partial aggregation absorbs the head), then
+    a shuffle join tf x df on token and a per-doc top-k window."""
+    d = _docs(spark, sf_dir, parallel=True)
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                           lambda w: w != "")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = (tokens.distinct().groupBy("token")
+          .agg(F.count("*").alias("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
+    return (tf.join(df, "token")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TFIDF_TOPK)
+            .select("doc_id", "rank", "token", "tf", "df"))
+
+
+# -- corpus-level boilerplate n-grams ------------------------------------------------
+
+_BOILER_MIN_FRAC = 0.01
+
+
+def docfreq_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: word-3-gram shingles present
+    in more than 10% of documents (the document-frequency pass used to
+    strip templated headers/footers before training).
+
+    Scale: shingle -> distinct doc explode, one shuffle on the shingle;
+    the >10% threshold keeps the output tiny regardless of corpus size,
+    and the doc count is a scalar broadcast (crossJoin of one row)."""
+    d = _docs(spark, sf_dir, parallel=True)
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    shingles = F.array_distinct(_shingles_expr(words, keep_empty_tokens=False))
+    per_doc = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    freq = per_doc.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
+    return (freq.crossJoin(F.broadcast(n_docs))
+            .where(F.col("n_docs_with") > F.col("n_docs") * _BOILER_MIN_FRAC)
+            .select("shingle", "n_docs_with",
+                    F.round(F.col("n_docs_with") / F.col("n_docs"), 4)
+                    .alias("doc_frac")))
+
+
 # -- language id -------------------------------------------------------------------
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +905,80 @@ ORACLES["ngram_jaccard_pairs"] = """
                 (a.n_sh + b.n_sh - LEN(LIST_INTERSECT(a.sh, b.sh))), 4) >= 0.2
 """
 
+ORACLES["repetition_filter"] = """
+    WITH w AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, w, LEN(w) AS n_words,
+             LEN(LIST_DISTINCT(w)) AS n_distinct
+      FROM w
+    ), grams AS (
+      SELECT doc_id, n_words, n_distinct,
+             UNNEST(CASE WHEN LEN(w) >= 2
+                         THEN [w[i] || ' ' || w[i+1] FOR i IN RANGE(1, LEN(w))]
+                         ELSE [NULL] END) AS gram
+      FROM base
+    ), counts AS (
+      SELECT doc_id, n_words, n_distinct, gram, COUNT(gram) AS c
+      FROM grams GROUP BY doc_id, n_words, n_distinct, gram
+    ), top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY c DESC, gram ASC NULLS LAST) AS rn
+      FROM counts
+    )
+    SELECT doc_id,
+           ROUND(n_distinct::DOUBLE / GREATEST(n_words, 1), 4)
+             AS distinct_ratio,
+           ROUND(LEAST(2.0 * COALESCE(c, 0) / GREATEST(n_words, 1), 1.0), 4)
+             AS top_bigram_frac
+    FROM top WHERE rn = 1
+"""
+
+ORACLES["tfidf_keywords"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+    )
+    SELECT doc_id, rank, token, tf, df FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+      FROM tf JOIN df USING (token))
+    WHERE rank <= %d
+""" % _TFIDF_TOPK
+
+ORACLES["docfreq_boilerplate"] = """
+    WITH w AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(
+               CASE WHEN LEN(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          FOR i IN RANGE(1, LEN(w) - 2 + 1)]
+                    ELSE [] END)) AS shingle
+      FROM w
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT shingle, COUNT(*) AS n_docs_with,
+           ROUND(COUNT(*)::DOUBLE / n_docs, 4) AS doc_frac
+    FROM sh, n
+    GROUP BY shingle, n_docs
+    HAVING COUNT(*) > n_docs * %f
+""" % _BOILER_MIN_FRAC
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -817,4 +992,7 @@ QUERIES = {
     "token_count": token_count,
     "quality_score": quality_score,
     "lang_id": lang_id,
+    "repetition_filter": repetition_filter,
+    "tfidf_keywords": tfidf_keywords,
+    "docfreq_boilerplate": docfreq_boilerplate,
 }

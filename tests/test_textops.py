@@ -193,3 +193,32 @@ def test_curate_near_dups_cluster_representative(spark):
                spark.read.parquet(f"{SF_DIR}/documents.parquet")
                .select("doc_id").collect()}
     assert all_ids - cand_ids <= kept  # non-candidates always survive
+
+
+def test_repetition_and_tfidf_semantics(spark, tmp_path):
+    """repetition_filter: a doc that is one 2-gram repeated scores
+    top_bigram_frac ~ 1 and low distinct_ratio; a all-distinct doc
+    scores distinct_ratio 1. tfidf_keywords ranks a doc's frequent-rare
+    token first (tf desc, df asc, token asc)."""
+    import pandas as pd
+
+    rows = [
+        (0, "spam ham " * 20),                      # repeated 2-gram
+        (1, " ".join("w%d" % i for i in range(30))),  # all distinct
+        (2, "rare rare rare common common the the"),
+        (3, "common the zebra"),                    # makes 'common'/'the' df=2
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    from pdfminer_spark.ops.textops import repetition_filter, tfidf_keywords
+
+    rep = {r["doc_id"]: r for r in
+           repetition_filter(spark, str(tmp_path)).collect()}
+    assert rep[0]["top_bigram_frac"] >= 0.95
+    assert rep[0]["distinct_ratio"] == pytest.approx(2 / 40, abs=1e-4)
+    assert rep[1]["distinct_ratio"] == 1.0
+    kw = {(r["doc_id"], r["rank"]): r["token"] for r in
+          tfidf_keywords(spark, str(tmp_path)).collect()}
+    # doc 2: 'rare' (tf 3, df 1) beats 'common'/'the' (tf 2, df 2)
+    assert kw[(2, 1)] == "rare"
+    assert kw[(2, 2)] == "common"  # tf tie with 'the', token asc wins
