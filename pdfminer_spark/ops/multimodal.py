@@ -156,6 +156,72 @@ def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                          schema=FEATURES_SCHEMA)
 
 
+_RESIZE_LEN = 64
+
+
+def media_resize(spark: SparkSession, sf_dir: str,
+                 target: int = _RESIZE_LEN) -> DataFrame:
+    """Resize step: nearest-neighbor resample of the opaque payload to a
+    fixed length (out[i] = payload[floor(i*n/target)]) — the exact index
+    arithmetic an image resize uses, applied to the 1-D byte stand-in;
+    swapping in PIL's 2-D resampling changes only the kernel, not the
+    Spark plumbing (Arrow batch in, fixed-size row out, no shuffle).
+    Emits an md5 of the resampled bytes (cross-engine canonical)."""
+    m = media_table(spark, sf_dir)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests, sizes = [], []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = b.size
+                sizes.append(n)
+                if n == 0:
+                    out = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = (np.arange(target) * n) // target
+                    out = b[idx]
+                digests.append(hashlib.md5(
+                    ",".join(str(int(x)) for x in out).encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "resized_digest": digests,
+            })
+
+    return m.mapInPandas(
+        fn, "doc_id long, kind string, n_bytes long, resized_digest string")
+
+
+_FRAME_SAMPLES = 4
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str,
+                       k: int = _FRAME_SAMPLES) -> DataFrame:
+    """Frame-sampling step for video payloads: k evenly-spaced frame
+    indices, frame_idx = floor(j * frames / k) — the standard uniform
+    temporal sampling; the decode that would yield the actual frame
+    bytes is the honestly-stubbed _fake_decode (frames count derived
+    from the content digest). One row per (video, sample)."""
+    m = media_table(spark, sf_dir).where(F.col("kind") == "video")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frames": [], "sample_pos": [],
+                    "frame_idx": []}
+            for (d, p) in zip(pdf["doc_id"], pdf["payload"]):
+                frames = _fake_decode(bytes(p), "video")["frames"]
+                for j in range(k):
+                    rows["doc_id"].append(d)
+                    rows["frames"].append(frames)
+                    rows["sample_pos"].append(j)
+                    rows["frame_idx"].append((j * frames) // k)
+            yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        fn, "doc_id long, frames int, sample_pos int, frame_idx int")
+
+
 def _hexbyte_sql(dig: str, k: int) -> str:
     """SQL for byte k (0-based) of a lowercase hex digest string."""
     return ("((STRPOS('0123456789abcdef', SUBSTR(%s, %d, 1)) - 1) * 16 + "
@@ -218,7 +284,39 @@ ORACLES: dict[str, str] = {
     "media_features": _MEDIA_FEATURES_ORACLE,
 }
 
+# resized byte i = ORD(SUBSTR(text, (i*n)//target + 1, 1)) — ASCII corpus
+# so char ordinal == utf-8 payload byte; 64 generated terms
+ORACLES["media_resize"] = """
+    WITH idx AS (
+      SELECT doc_id, text, UNNEST(RANGE(0, %(t)d)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CASE doc_id %% 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(STRING_AGG(
+             ORD(SUBSTR(text, (i * LENGTH(text)) // %(t)d + 1, 1))::VARCHAR,
+             ',' ORDER BY i)) AS resized_digest
+    FROM idx
+    GROUP BY doc_id, text
+""" % {"t": _RESIZE_LEN}
+
+ORACLES["media_frame_sample"] = """
+    WITH vids AS (
+      SELECT doc_id, SHA256(text) AS dig
+      FROM documents WHERE doc_id %% 3 = 2
+    ), frames AS (
+      SELECT doc_id, (1 + %(h2)s %% 16)::INT AS frames FROM vids
+    )
+    SELECT doc_id, frames,
+           j::INT AS sample_pos,
+           ((j * frames) // %(k)d)::INT AS frame_idx
+    FROM frames, (SELECT UNNEST(RANGE(0, %(k)d)) AS j)
+""" % {"h2": _hexbyte_sql("dig", 2), "k": _FRAME_SAMPLES}
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
+    "media_resize": media_resize,
+    "media_frame_sample": media_frame_sample,
 }
