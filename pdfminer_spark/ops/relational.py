@@ -222,7 +222,49 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer(segment filter) |x| orders(date filter)
+    |x| lineitem(date filter) -> top-10 orders by discounted revenue.
+
+    Scale: both dimension-side filters are pushed to the parquet scans
+    (segment + date predicates in PushedFilters); customer is the small
+    side of its join — broadcast hinted; orders |x| lineitem shuffles on
+    the order key (the fact-fact join that must shuffle); the top-10 is
+    TakeOrderedAndProject. The classic mixed broadcast/shuffle plan."""
+    cutoff = "1998-01-01"
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < cutoff)
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "shipping_priority": """
+        SELECT o_orderkey, o_orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
     "bbox_union_agg": """
         SELECT l_returnflag, l_linestatus,
                ROUND(MIN(l_extendedprice), 2) AS x0,
@@ -316,6 +358,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "shipping_priority": shipping_priority,
     "bbox_union_agg": bbox_union_agg,
     "turn_ordering_window": turn_ordering_window,
     "reading_order_key": reading_order_key,

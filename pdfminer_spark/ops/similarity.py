@@ -449,6 +449,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- int8 scalar quantization -----------------------------------------------------
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x storage
+    shrink applied before ANN indexing at corpus scale. Per-vector
+    symmetric scale = max(|v|); code_i = round_half_away(v_i / scale *
+    127), reconstruction error reported as a rounded MSE.
+
+    All JVM-side higher-order functions (transform / aggregate); the
+    quantized codes are emitted as an md5 digest of the integer code
+    string — exact cross-engine comparison with no float formatting.
+    Half-away-from-zero via sign(x)*floor(|x|+0.5) keeps Spark and
+    DuckDB rounding identical (ROUND() semantics differ on .5 ties
+    between engines' float paths)."""
+    e = _emb(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.aggregate(v, F.lit(0.0),
+                        lambda acc, x: F.greatest(acc, F.abs(x)))
+    x127 = lambda x: x / F.col("scale") * F.lit(127.0)
+    code = lambda x: (F.signum(x127(x))
+                      * F.floor(F.abs(x127(x)) + F.lit(0.5))).cast("int")
+    codes = F.transform(F.col("v"), code)
+    recon = F.transform(F.col("codes"),
+                        lambda c: c.cast("double") / 127.0 * F.col("scale"))
+    mse = F.aggregate(
+        F.zip_with(F.col("v"), F.col("recon"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x) / F.size(F.col("v"))
+    return (
+        e.select("vec_id", v.alias("v"), scale.alias("scale"))
+        .withColumn("codes", codes)
+        .withColumn("recon", recon)
+        .select("vec_id",
+                F.round("scale", 6).alias("scale_r"),
+                F.md5(F.array_join(F.transform(
+                    "codes", lambda c: c.cast("string")), ",")
+                ).alias("codes_digest"),
+                F.round(mse, 8).alias("mse"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -586,6 +627,31 @@ def _ivf_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
 
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 
+ORACLES["embedding_quantize"] = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], x -> ABS(x)))
+               AS scale
+      FROM embeddings
+    ), coded AS (
+      SELECT vec_id, v, scale,
+             LIST_TRANSFORM(v, x -> (SIGN(x / scale * 127)
+               * FLOOR(ABS(x / scale * 127) + 0.5))::INT) AS codes
+      FROM base
+    ), recon AS (
+      SELECT vec_id, v, scale, codes,
+             LIST_TRANSFORM(codes, c -> c::DOUBLE / 127 * scale) AS r
+      FROM coded
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           MD5(ARRAY_TO_STRING(codes, ',')) AS codes_digest,
+           ROUND(LIST_SUM([(v[i] - r[i]) * (v[i] - r[i])
+                           FOR i IN RANGE(1, LEN(v) + 1)]) / LEN(v), 8)
+             AS mse
+    FROM recon
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dups": embedding_near_dups,
@@ -593,6 +659,7 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_quantize": embedding_quantize,
 }
 
 # the fast variant computes the same pairs as the oracle-checked slow one
