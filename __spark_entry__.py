@@ -94,11 +94,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfminer_spark.ops import (datasetops, layoutops, multimodal,
-                                    relational, similarity, temporal, textops)
+                                    relational, similarity, sketches,
+                                    temporal, textops)
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q.update(temporal.QUERIES)
+    q.update(sketches.QUERIES)
     q.update(textops.QUERIES)
     q.update(similarity.QUERIES)
     q.update(multimodal.QUERIES)
@@ -112,11 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pdfminer_spark.ops import (datasetops, layoutops, multimodal,
-                                    relational, similarity, temporal, textops)
+                                    relational, similarity, sketches,
+                                    temporal, textops)
 
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
     o.update(temporal.ORACLES)
+    o.update(sketches.ORACLES)
     o.update(textops.ORACLES)
     o.update(similarity.ORACLES)
     o.update(multimodal.ORACLES)
