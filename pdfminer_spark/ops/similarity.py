@@ -383,16 +383,25 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
     The trained table is memoized per (sf_dir, k, iters) — the
     'train once, persist the centroid table' production pattern: every
     subsequent query probes the persisted quantizer instead of
-    retraining (training is deterministic, so the memo can never go
-    stale against the oracle)."""
+    retraining. Training is deterministic, so for an immutable corpus
+    directory the memo cannot drift from the oracle; rewriting the
+    parquet under a previously-trained path within one process requires
+    clearing _CENTROID_CACHE (test fixtures always use fresh dirs)."""
     key = (sf_dir, k, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     e = _emb(spark, sf_dir)
     seeds = (e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
              .orderBy("vec_id").collect())  # k rows, bounded
-    cents = [(i, [float(x) for x in r["embedding"]])
-             for i, r in enumerate(seeds)]
+    if len(seeds) < k:
+        # cell numbering is vec_id - 1 on both engines; a gap in the
+        # seed ids would silently desynchronize Spark's cells from the
+        # oracle's — fail loud instead
+        raise ValueError(
+            "IVF training needs embeddings for vec_ids 1..%d; found %d"
+            % (k, len(seeds)))
+    cents = [(int(r["vec_id"]) - 1, [float(x) for x in r["embedding"]])
+             for r in seeds]
     for _ in range(iters):
         cent_df = spark.createDataFrame(
             cents, "cell int, centroid array<double>")

@@ -241,7 +241,17 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame
         rep = new
         if changed == 0:
             break
+    else:
+        # silent truncation would diverge from the oracle's transitive
+        # closure on a >max_iters-hop chain — fail loud instead
+        raise RuntimeError(
+            "connected components did not converge in %d rounds "
+            "(pathological chain in the candidate graph; raise max_iters "
+            "or switch to large-star/small-star)" % max_iters)
     edges.unpersist()
+    # note: the returned frame stays cached (bounded by the candidate
+    # node count) so the caller's downstream action reuses the converged
+    # labels instead of replaying the loop lineage
     return rep
 
 

@@ -171,16 +171,19 @@ def ccittg4_decode(data: bytes, columns: int, rows: int | None = None,
     br = _Bits(data)
     out_rows: list[np.ndarray] = []
     ref: list[int] = []  # previous line's changing elements
+    # with no /Rows bound, an all-zero tail is byte-boundary fill after
+    # a stream that ended without EOFB — a clean end, not a malformed
+    # code (no valid mode/EOFB sequence is all zeros): decode it as
+    # done instead of raising (ADVICE r2). Computed once — a per-row
+    # .any() rescan would make decode O(rows x bits).
+    set_bits = np.flatnonzero(br.bits)
+    last_set = int(set_bits[-1]) if set_bits.size else -1
     while rows is None or len(out_rows) < rows:
         if byte_align:
             br.align()
         if br.eof() or (rows is None and len(br.bits) - br.pos < 2):
             break
-        # with no /Rows bound, an all-zero tail is byte-boundary fill
-        # after a stream that ended without EOFB — a clean end, not a
-        # malformed code (no valid mode/EOFB sequence is all zeros):
-        # decode it as done instead of raising (ADVICE r2)
-        if rows is None and not br.bits[br.pos:].any():
+        if rows is None and br.pos > last_set:
             break
         cur: list[int] = []
         a0 = -1

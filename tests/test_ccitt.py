@@ -207,9 +207,6 @@ def test_rows_none_zero_fill_tail_decodes_cleanly():
     data = g4_encode(img, 23)
     # strip the appended EOFB (2x 12 bits) then re-pad with zeros
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    body = bits[:len(bits) - (len(bits) % 8)]  # full bytes
-    # locate end of row data: g4_encode padded AFTER EOFB; rebuild
-    # without it by re-encoding manually
     bitstr = "".join("1" if b else "0" for b in bits)
     core = bitstr[:bitstr.rindex("000000000001" * 2)]
     padded = core + "0" * (-len(core) % 8)

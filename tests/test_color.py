@@ -3,9 +3,10 @@ values are carried in the gstate and stamped on Shape records as
 metadata. The reference parses these operators but discards the values
 (pdfinterp.py:583-611 no-op bodies) and no golden format prints them,
 so the byte-exact golden suite is unaffected by design."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from gen_testpdfs import basic  # noqa: E402
 
