@@ -75,6 +75,8 @@ def run_headline_queries(spark) -> dict[str, float]:
         "token_count", "quality_score", "ann_cosine_topk",
         "embedding_near_dups_fast", "ann_lsh_pairs", "ann_ivf_topk",
         "media_features", "layout_boxes", "extract_documents",
+        "asof_join", "sessionize", "tfidf_keywords", "normalize_text",
+        "embedding_quantize",
     ]
     qs = entry.queries()
     out = {}
