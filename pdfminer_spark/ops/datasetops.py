@@ -97,6 +97,40 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sequence packing (bin assignment) ------------------------------------------------
+
+_SEQ_WINDOW = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents in doc_id order
+    and cut every _SEQ_WINDOW tokens; a document belongs to the bin its
+    first token falls in (bin = exclusive-running-token-count //
+    window). Emits per-bin stats (doc count, token total, fill ratio) —
+    the packing-efficiency report a tokenization pipeline watches.
+
+    Scale: packing is inherently sequential over a concatenation order,
+    so it is SHARDED — the running sum is a window PARTITIONED BY the
+    source shard (exactly how production packers parallelize); one
+    shuffle on source, per-shard ordered scan, then a small groupBy."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = (d.select("source", "doc_id", n_tokens.alias("n_tokens"))
+              .withColumn("bin_id",
+                          F.floor(start / _SEQ_WINDOW).cast("int")))
+    return (binned.groupBy("source", "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens"),
+                 F.round(F.sum("n_tokens") / F.lit(_SEQ_WINDOW), 4)
+                 .alias("fill_ratio")))
+
+
 # -- unicode -> ascii text normalization -------------------------------------------
 
 # Mapping reproduced verbatim from the reference's normalization utility
@@ -278,6 +312,26 @@ ORACLES: dict[str, str] = {
     """.format(stride=_CHUNK_STRIDE, size=_CHUNK_TOKENS),
 }
 
+ORACLES["pack_sequences"] = """
+    WITH toks AS (
+      SELECT source, doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), binned AS (
+      SELECT source, doc_id, n_tokens,
+             (COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // %(w)d)::INT AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           ROUND(SUM(n_tokens)::DOUBLE / %(w)d, 4) AS fill_ratio
+    FROM binned GROUP BY source, bin_id
+""" % {"w": _SEQ_WINDOW}
+
 ORACLES["normalize_text"] = """
     WITH mapping(src, dst) AS (VALUES %(values)s),
     dec AS (
@@ -307,4 +361,5 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "pack_chunks": pack_chunks,
     "normalize_text": normalize_text,
+    "pack_sequences": pack_sequences,
 }

@@ -458,6 +458,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-style clustering surface: the trained k-medians assignment
+    (one row per vector with its cell and the rounded cosine to its
+    centroid) plus each cell's size — the embedding-space clustering a
+    curation pipeline uses for diversity sampling / topic balancing.
+    Reuses the persisted IVF quantizer, so this is a pure assignment
+    pass: broadcast k centroids, one window per vec_id, one groupBy."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    cent = spark.createDataFrame(_ivf_centroids(spark, sf_dir),
+                                 "cell int, centroid array<double>")
+    ccos = _dot(F.col("embedding"), F.col("centroid")) / (
+        _norm(F.col("embedding")) * _norm(F.col("centroid")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc())
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "cell", F.round(ccos, 4).alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    return (assigned.join(sizes, "cell")
+            .select("vec_id", "label", "cell", "ccos", "cell_size"))
+
+
 # -- int8 scalar quantization -----------------------------------------------------
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,23 +610,22 @@ def _duck_cos(a: str, b: str) -> str:
             % {"a": a, "b": b})
 
 
-def _ivf_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
-                    probes: int = _IVF_PROBES, topk: int = _IVF_TOPK) -> str:
-    """k-medians training unrolled as a generated CTE chain — the same
-    seeds / rounded-cosine assignment / per-dim-median update the Spark
-    side runs, so the trained centroids (and therefore the probe set and
-    final top-k) are identical across engines."""
-
-    def assign_sql(name: str, cent: str) -> str:
-        return """%s AS (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT e.vec_id, e.embedding, c.cell,
+def _ivf_assign_sql(name: str, cent: str) -> str:
+    return """%s AS (
+      SELECT vec_id, label, embedding, cell FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY %s DESC, c.cell ASC) AS rn
         FROM embeddings e CROSS JOIN %s c)
       WHERE rn = 1
     )""" % (name, _duck_cos("e.embedding", "c.centroid"), cent)
 
+
+def _ivf_train_ctes(k: int, iters: int) -> list[str]:
+    """The k-medians training chain (cent0..cent{iters}) — the same
+    seeds / rounded-cosine assignment / per-dim-median update the Spark
+    side runs, so the trained centroids (and every discrete choice made
+    from them) are identical across engines."""
     parts = ["""WITH q AS (SELECT embedding AS q_emb FROM embeddings
                 WHERE vec_id = 0),
     cent0 AS (
@@ -607,7 +633,7 @@ def _ivf_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
       FROM embeddings WHERE vec_id BETWEEN 1 AND %d
     )""" % k]
     for i in range(iters):
-        parts.append(assign_sql("assign%d" % i, "cent%d" % i))
+        parts.append(_ivf_assign_sql("assign%d" % i, "cent%d" % i))
         parts.append("""med%(i)d AS (
       SELECT cell, pos, MEDIAN(v::DOUBLE) AS m
       FROM (SELECT cell, UNNEST(embedding) AS v,
@@ -620,7 +646,13 @@ def _ivf_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
         SELECT cell, LIST(m ORDER BY pos) AS centroid
         FROM med%(i)d GROUP BY cell) n ON p.cell = n.cell
     )""" % {"i": i, "n": i + 1})
-    parts.append(assign_sql("fassign", "cent%d" % iters))
+    return parts
+
+
+def _ivf_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
+                    probes: int = _IVF_PROBES, topk: int = _IVF_TOPK) -> str:
+    parts = _ivf_train_ctes(k, iters)
+    parts.append(_ivf_assign_sql("fassign", "cent%d" % iters))
     parts.append("""probed AS (
       SELECT cell FROM cent%d, q
       ORDER BY %s DESC, cell ASC LIMIT %d
@@ -634,7 +666,27 @@ def _ivf_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
 """ % (_duck_cos("fa.embedding", "q.q_emb"), topk)
 
 
+def _clusters_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
+    parts = _ivf_train_ctes(k, iters)
+    parts.append("""fassign AS (
+      SELECT vec_id, label, cell, ccos FROM (
+        SELECT e.vec_id, e.label, c.cell, %s AS ccos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY %s DESC, c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cent%d c)
+      WHERE rn = 1
+    ), sizes AS (
+      SELECT cell, COUNT(*) AS cell_size FROM fassign GROUP BY cell
+    )""" % (_duck_cos("e.embedding", "c.centroid"),
+            _duck_cos("e.embedding", "c.centroid"), iters))
+    return ",\n    ".join(parts) + """
+    SELECT vec_id, label, cell, ccos, cell_size
+    FROM fassign JOIN sizes USING (cell)
+"""
+
+
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
+ORACLES["embedding_clusters"] = _clusters_oracle_sql()
 
 ORACLES["embedding_quantize"] = """
     WITH base AS (
@@ -669,6 +721,7 @@ QUERIES = {
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_quantize": embedding_quantize,
+    "embedding_clusters": embedding_clusters,
 }
 
 # the fast variant computes the same pairs as the oracle-checked slow one
