@@ -117,3 +117,28 @@ def test_normalize_text_reference_mapping(spark, tmp_path):
     assert out[1]["n_mapped"] == 3
     assert out[2]["ascii_text"] == "plain ascii only"
     assert out[2]["n_mapped"] == 0
+
+
+def test_pack_sequences_bin_boundaries(spark, tmp_path):
+    """A doc belongs to the bin its FIRST token falls in (exclusive
+    running count // window); packing is per-source shard."""
+    import pandas as pd
+
+    # window = 512; doc sizes chosen to straddle the boundary
+    rows = [
+        (0, " ".join("a%d" % i for i in range(500)), "s1"),  # starts 0   -> bin 0
+        (1, " ".join("b%d" % i for i in range(20)),  "s1"),  # starts 500 -> bin 0
+        (2, " ".join("c%d" % i for i in range(10)),  "s1"),  # starts 520 -> bin 1
+        (3, " ".join("d%d" % i for i in range(600)), "s2"),  # other shard: bin 0
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    from pdfminer_spark.ops.datasetops import pack_sequences
+
+    got = {(r["source"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+           for r in pack_sequences(spark, str(tmp_path)).collect()}
+    assert got[("s1", 0)] == (2, 520)   # docs 0 and 1
+    assert got[("s1", 1)] == (1, 10)    # doc 2 starts past the boundary
+    assert got[("s2", 0)] == (1, 600)   # shards pack independently
