@@ -207,22 +207,58 @@ _NEAR_DUP_EST = 0.5
 _CC_MAX_ITERS = 20
 
 
-def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+_CC_COLLECT_EDGES = 100_000  # driver union-find below this, loop above
+
+
+def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS,
+                  collect_threshold: int = _CC_COLLECT_EDGES) -> DataFrame:
     """(id, rep) for every endpoint of a symmetric (src, dst) edge list;
     rep = the minimum id in the node's connected component.
 
-    Iterative min-label propagation over the CANDIDATE graph only (the
-    corpus never enters the loop): each round is one shuffle of
+    Adaptive strategy (the same size-based call AQE makes for joins):
+    the edge list is counted once; below ``collect_threshold`` edges the
+    components are solved by an EXPLICITLY BOUNDED driver union-find
+    (one collect of at most threshold rows — at sf0.1 the near-dup
+    graph is a few hundred edges, and per-iteration Spark job overhead
+    dominates any distributed loop), otherwise by iterative min-label
+    propagation over the candidate graph: each round is one shuffle of
     (node, rep) rows, materialized (cache + count) so the next round
     starts from data instead of a growing plan, with early exit once no
     label changes. Round count is bounded by the duplicate-cluster
     diameter — single digits for real dup clusters; the published
     large-star/small-star alternation (Kiveris et al., SoCC'14) brings
     it to O(log n) if adversarial chains ever matter."""
-    # materialize the edge list once: every iteration (and its
-    # convergence count) joins against it — without the cache each
-    # action re-derives the whole upstream candidate pipeline
+    spark = edges.sparkSession
     edges = edges.cache()
+    n_edges = edges.count()
+    if n_edges <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                (parent[x], x) = (root, parent[x])
+            return root
+
+        for r in edges.collect():  # bounded by collect_threshold rows
+            (a, b) = (r["src"], r["dst"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            (ra, rb) = (find(a), find(b))
+            if ra != rb:
+                # union by min id so the representative is the minimum
+                if rb < ra:
+                    (ra, rb) = (rb, ra)
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        edges.unpersist()
+        return spark.createDataFrame(rows, "id long, rep long")
+    # distributed path: edges stay cached (materialized by the count
+    # above) — every iteration and its convergence count join against
+    # them; without the cache each action would re-derive the whole
+    # upstream candidate pipeline
     rep = (edges.select(F.col("src").alias("id")).distinct()
            .withColumn("rep", F.col("id"))).cache()
     rep.count()

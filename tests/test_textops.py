@@ -222,3 +222,19 @@ def test_repetition_and_tfidf_semantics(spark, tmp_path):
     # doc 2: 'rare' (tf 3, df 1) beats 'common'/'the' (tf 2, df 2)
     assert kw[(2, 1)] == "rare"
     assert kw[(2, 2)] == "common"  # tf tie with 'the', token asc wins
+
+
+def test_cc_branches_agree(spark):
+    """The bounded driver union-find (small edge lists) and the
+    distributed min-label loop must produce identical components; a
+    3-chain and a separate pair pin both representatives."""
+    from pdfminer_spark.ops.textops import _cc_min_label
+
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    expected = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    driver = {(r["id"], r["rep"]) for r in _cc_min_label(edges).collect()}
+    dist = {(r["id"], r["rep"]) for r in
+            _cc_min_label(edges, collect_threshold=0).collect()}
+    assert driver == expected
+    assert dist == expected
