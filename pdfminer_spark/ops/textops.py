@@ -330,6 +330,77 @@ def curate_near_dups(spark: SparkSession, sf_dir: str,
             .select("doc_id", F.md5("text").alias("content_hash")))
 
 
+# -- incremental dedup --------------------------------------------------------------
+
+_INC_NEW_MOD = 10  # doc_id % 10 == 9 plays the "newly arrived batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str,
+                      threshold: float = _NEAR_DUP_EST) -> DataFrame:
+    """Incremental near-dup dedup: classify each document of a NEW batch
+    against an already-indexed corpus — the production shape for
+    snapshot-append pipelines, where the old corpus's signatures are
+    read from the persisted signature table and the old corpus is NEVER
+    re-compared against itself.
+
+    Verdicts per new doc: 'dup_of_corpus' (est-Jaccard >= threshold
+    match in the indexed corpus; matched_id = the smallest such corpus
+    id), else 'dup_in_batch' (matched a SMALLER-id new doc — the
+    keep-first rule within one batch), else 'unique'.
+
+    Scale shape: band join of new-batch bands against corpus bands plus
+    a new-vs-new self join — candidate volume is proportional to the
+    new batch's duplicate mass, not the corpus size; the corpus-side
+    input is the persisted (doc_id, band) table, so an appended
+    snapshot costs O(|new|), never O(|corpus|). Here both sides derive
+    from one table split by doc_id %% 10 (the driver corpus has no
+    batch column); the split is in the oracle too."""
+    sigs = dedup_minhash(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),
+    )
+    is_new = F.col("doc_id") % _INC_NEW_MOD == _INC_NEW_MOD - 1
+    new_b = bands.where(is_new)
+    old_b = bands.where(~is_new)
+    cand = (
+        new_b.select(F.col("doc_id").alias("id_new"), "band")
+        .join(old_b.select(F.col("doc_id").alias("id_other"), "band")
+              .unionByName(new_b.select(F.col("doc_id").alias("id_other"),
+                                        "band")), ["band"])
+        .where(F.col("id_new") != F.col("id_other"))
+        .select("id_new", "id_other").distinct()
+    )
+    packed = sigs.select(
+        "doc_id",
+        F.array(*[F.col("sig%d" % j) for j in range(_N_PERMS)]).alias("sig"))
+    sa = packed.select(F.col("doc_id").alias("id_new"), F.col("sig").alias("sig_a"))
+    sb = packed.select(F.col("doc_id").alias("id_other"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    scored = (cand.join(sa, "id_new").join(sb, "id_other")
+              .where(F.round(agree / F.lit(_N_PERMS), 4) >= threshold))
+    other_is_old = F.col("id_other") % _INC_NEW_MOD != _INC_NEW_MOD - 1
+    corpus_match = (scored.where(other_is_old)
+                    .groupBy("id_new")
+                    .agg(F.min("id_other").alias("corpus_id")))
+    batch_match = (scored.where(~other_is_old
+                                & (F.col("id_other") < F.col("id_new")))
+                   .groupBy("id_new")
+                   .agg(F.min("id_other").alias("batch_id")))
+    new_docs = (_docs(spark, sf_dir).where(is_new)
+                .select(F.col("doc_id").alias("id_new")))
+    verdict = (F.when(F.col("corpus_id").isNotNull(), "dup_of_corpus")
+               .when(F.col("batch_id").isNotNull(), "dup_in_batch")
+               .otherwise("unique"))
+    matched = F.coalesce("corpus_id", "batch_id")
+    return (new_docs.join(corpus_match, "id_new", "left")
+            .join(batch_match, "id_new", "left")
+            .select(F.col("id_new").alias("doc_id"),
+                    verdict.alias("verdict"),
+                    matched.alias("matched_id")))
+
+
 # -- SimHash ---------------------------------------------------------------------
 
 _SIMHASH_BITS = 64
@@ -1025,11 +1096,41 @@ ORACLES["docfreq_boilerplate"] = """
     HAVING COUNT(*) > n_docs * %f
 """ % _BOILER_MIN_FRAC
 
+ORACLES["dedup_incremental"] = _BANDS_CTE + """, cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_other
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.doc_id <> o.doc_id
+      WHERE n.doc_id % 10 = 9
+    ), scored AS (
+      SELECT id_new, id_other
+      FROM cand JOIN sigs sa ON sa.doc_id = id_new
+                JOIN sigs sb ON sb.doc_id = id_other
+      WHERE ROUND((CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END + CASE WHEN sa.sig8 = sb.sig8 THEN 1 ELSE 0 END + CASE WHEN sa.sig9 = sb.sig9 THEN 1 ELSE 0 END + CASE WHEN sa.sig10 = sb.sig10 THEN 1 ELSE 0 END + CASE WHEN sa.sig11 = sb.sig11 THEN 1 ELSE 0 END + CASE WHEN sa.sig12 = sb.sig12 THEN 1 ELSE 0 END + CASE WHEN sa.sig13 = sb.sig13 THEN 1 ELSE 0 END + CASE WHEN sa.sig14 = sb.sig14 THEN 1 ELSE 0 END + CASE WHEN sa.sig15 = sb.sig15 THEN 1 ELSE 0 END + CASE WHEN sa.sig16 = sb.sig16 THEN 1 ELSE 0 END + CASE WHEN sa.sig17 = sb.sig17 THEN 1 ELSE 0 END + CASE WHEN sa.sig18 = sb.sig18 THEN 1 ELSE 0 END + CASE WHEN sa.sig19 = sb.sig19 THEN 1 ELSE 0 END + CASE WHEN sa.sig20 = sb.sig20 THEN 1 ELSE 0 END + CASE WHEN sa.sig21 = sb.sig21 THEN 1 ELSE 0 END + CASE WHEN sa.sig22 = sb.sig22 THEN 1 ELSE 0 END + CASE WHEN sa.sig23 = sb.sig23 THEN 1 ELSE 0 END + CASE WHEN sa.sig24 = sb.sig24 THEN 1 ELSE 0 END + CASE WHEN sa.sig25 = sb.sig25 THEN 1 ELSE 0 END + CASE WHEN sa.sig26 = sb.sig26 THEN 1 ELSE 0 END + CASE WHEN sa.sig27 = sb.sig27 THEN 1 ELSE 0 END + CASE WHEN sa.sig28 = sb.sig28 THEN 1 ELSE 0 END + CASE WHEN sa.sig29 = sb.sig29 THEN 1 ELSE 0 END + CASE WHEN sa.sig30 = sb.sig30 THEN 1 ELSE 0 END + CASE WHEN sa.sig31 = sb.sig31 THEN 1 ELSE 0 END + CASE WHEN sa.sig32 = sb.sig32 THEN 1 ELSE 0 END + CASE WHEN sa.sig33 = sb.sig33 THEN 1 ELSE 0 END + CASE WHEN sa.sig34 = sb.sig34 THEN 1 ELSE 0 END + CASE WHEN sa.sig35 = sb.sig35 THEN 1 ELSE 0 END + CASE WHEN sa.sig36 = sb.sig36 THEN 1 ELSE 0 END + CASE WHEN sa.sig37 = sb.sig37 THEN 1 ELSE 0 END + CASE WHEN sa.sig38 = sb.sig38 THEN 1 ELSE 0 END + CASE WHEN sa.sig39 = sb.sig39 THEN 1 ELSE 0 END + CASE WHEN sa.sig40 = sb.sig40 THEN 1 ELSE 0 END + CASE WHEN sa.sig41 = sb.sig41 THEN 1 ELSE 0 END + CASE WHEN sa.sig42 = sb.sig42 THEN 1 ELSE 0 END + CASE WHEN sa.sig43 = sb.sig43 THEN 1 ELSE 0 END + CASE WHEN sa.sig44 = sb.sig44 THEN 1 ELSE 0 END + CASE WHEN sa.sig45 = sb.sig45 THEN 1 ELSE 0 END + CASE WHEN sa.sig46 = sb.sig46 THEN 1 ELSE 0 END + CASE WHEN sa.sig47 = sb.sig47 THEN 1 ELSE 0 END + CASE WHEN sa.sig48 = sb.sig48 THEN 1 ELSE 0 END + CASE WHEN sa.sig49 = sb.sig49 THEN 1 ELSE 0 END + CASE WHEN sa.sig50 = sb.sig50 THEN 1 ELSE 0 END + CASE WHEN sa.sig51 = sb.sig51 THEN 1 ELSE 0 END + CASE WHEN sa.sig52 = sb.sig52 THEN 1 ELSE 0 END + CASE WHEN sa.sig53 = sb.sig53 THEN 1 ELSE 0 END + CASE WHEN sa.sig54 = sb.sig54 THEN 1 ELSE 0 END + CASE WHEN sa.sig55 = sb.sig55 THEN 1 ELSE 0 END + CASE WHEN sa.sig56 = sb.sig56 THEN 1 ELSE 0 END + CASE WHEN sa.sig57 = sb.sig57 THEN 1 ELSE 0 END + CASE WHEN sa.sig58 = sb.sig58 THEN 1 ELSE 0 END + CASE WHEN sa.sig59 = sb.sig59 THEN 1 ELSE 0 END + CASE WHEN sa.sig60 = sb.sig60 THEN 1 ELSE 0 END + CASE WHEN sa.sig61 = sb.sig61 THEN 1 ELSE 0 END + CASE WHEN sa.sig62 = sb.sig62 THEN 1 ELSE 0 END + CASE WHEN sa.sig63 = sb.sig63 THEN 1 ELSE 0 END)::DOUBLE / 64, 4) >= 0.5
+    ), corpus_match AS (
+      SELECT id_new, MIN(id_other) AS corpus_id
+      FROM scored WHERE id_other % 10 <> 9 GROUP BY id_new
+    ), batch_match AS (
+      SELECT id_new, MIN(id_other) AS batch_id
+      FROM scored WHERE id_other % 10 = 9 AND id_other < id_new
+      GROUP BY id_new
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.corpus_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.batch_id IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'unique' END AS verdict,
+           COALESCE(c.corpus_id, b.batch_id) AS matched_id
+    FROM documents d
+    LEFT JOIN corpus_match c ON d.doc_id = c.id_new
+    LEFT JOIN batch_match b ON d.doc_id = b.id_new
+    WHERE d.doc_id % 10 = 9
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_incremental": dedup_incremental,
     "curate_near_dups": curate_near_dups,
     "simhash": simhash,
     "simhash_pairs": simhash_pairs,

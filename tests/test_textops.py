@@ -238,3 +238,32 @@ def test_cc_branches_agree(spark):
             _cc_min_label(edges, collect_threshold=0).collect()}
     assert driver == expected
     assert dist == expected
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """Snapshot-append dedup: new docs (doc_id % 10 == 9) classify as
+    dup_of_corpus (match an indexed doc), dup_in_batch (match a
+    smaller-id doc of the same batch), or unique."""
+    import pandas as pd
+
+    A = " ".join("a%d" % i for i in range(40))
+    B = " ".join("b%d" % i for i in range(40))
+    rows = [
+        (0, A),                    # indexed corpus
+        (1, " ".join("c%d" % i for i in range(40))),
+        (9, A + " tail"),          # new: near-dup of corpus doc 0
+        (19, B),                   # new: first copy in batch
+        (29, B + " tail"),         # new: near-dup of batch doc 19
+        (39, " ".join("z%d" % i for i in range(40))),  # new: unique
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    from pdfminer_spark.ops.textops import dedup_incremental
+
+    got = {r["doc_id"]: (r["verdict"], r["matched_id"]) for r in
+           dedup_incremental(spark, str(tmp_path)).collect()}
+    assert got[9] == ("dup_of_corpus", 0)
+    assert got[19] == ("unique", None)
+    assert got[29] == ("dup_in_batch", 19)
+    assert got[39] == ("unique", None)
+    assert set(got) == {9, 19, 29, 39}  # indexed docs never re-judged
