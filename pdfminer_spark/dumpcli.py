@@ -71,6 +71,16 @@ def main(argv=None) -> int:
                                       pagenos=pagenos, dumpall=dumpall,
                                       mode=mode))
     text = "".join(out_parts)
+    if mode in ("raw", "binary"):
+        # stream bytes travel latin-1-decoded inside the dump string; a
+        # UTF-8 text handle would expand every byte >= 0x80 to two bytes
+        payload = text.encode("latin-1")
+        if outfile:
+            with open(outfile, "wb") as fp:
+                fp.write(payload)
+        else:
+            sys.stdout.buffer.write(payload)
+        return 0
     if outfile:
         with open(outfile, "w") as fp:
             fp.write(text)

@@ -343,23 +343,30 @@ _IVF_ITERS = 3    # fixed iteration count (determinism over convergence)
 _CENTROID_CACHE: dict[tuple, list] = {}  # the persisted quantizer table
 
 
-def _ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell): nearest trained centroid by cosine,
-    rounded to 4 decimals (half-up on both engines) with ties broken by
-    the smaller cell id — the discrete, cross-engine-stable assignment
-    rule. cent is tiny (k rows) and broadcast."""
+def _ivf_assign(e: DataFrame, cent: DataFrame,
+                extra_cols: tuple = ()) -> DataFrame:
+    """(vec_id, embedding, cell [, *extra_cols]): nearest trained
+    centroid by cosine, rounded to 4 decimals (half-up on both engines)
+    with ties broken by the smaller cell id — the discrete,
+    cross-engine-stable assignment rule, defined in exactly ONE place so
+    it cannot drift from the oracle's CTE. cent is tiny (k rows) and
+    broadcast. ``extra_cols`` may include 'ccos' (the rounded winning
+    cosine) and/or input columns to carry through."""
     from pyspark.sql import Window
 
     ccos = _dot(F.col("embedding"), F.col("centroid")) / (
         _norm(F.col("embedding")) * _norm(F.col("centroid")))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cell").asc())
+    carried = [c for c in extra_cols if c != "ccos"]
+    out = ["vec_id", "embedding", "cell"] + list(extra_cols)
     return (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cell", F.round(ccos, 4).alias("ccos"))
+        .select("vec_id", "embedding", "cell",
+                F.round(ccos, 4).alias("ccos"), *carried)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .select(*out)
     )
 
 
@@ -463,23 +470,13 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one row per vector with its cell and the rounded cosine to its
     centroid) plus each cell's size — the embedding-space clustering a
     curation pipeline uses for diversity sampling / topic balancing.
-    Reuses the persisted IVF quantizer, so this is a pure assignment
-    pass: broadcast k centroids, one window per vec_id, one groupBy."""
-    from pyspark.sql import Window
-
+    Reuses the persisted IVF quantizer AND the single shared assignment
+    rule (_ivf_assign — one definition, one oracle contract): broadcast
+    k centroids, one window per vec_id, one groupBy."""
     e = _emb(spark, sf_dir)
     cent = spark.createDataFrame(_ivf_centroids(spark, sf_dir),
                                  "cell int, centroid array<double>")
-    ccos = _dot(F.col("embedding"), F.col("centroid")) / (
-        _norm(F.col("embedding")) * _norm(F.col("centroid")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc())
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "cell", F.round(ccos, 4).alias("ccos"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    assigned = _ivf_assign(e, cent, extra_cols=("ccos", "label"))
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_size"))
     return (assigned.join(sizes, "cell")
             .select("vec_id", "label", "cell", "ccos", "cell_size"))

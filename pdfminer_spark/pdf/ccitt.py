@@ -174,10 +174,13 @@ def ccittg4_decode(data: bytes, columns: int, rows: int | None = None,
     # with no /Rows bound, an all-zero tail is byte-boundary fill after
     # a stream that ended without EOFB — a clean end, not a malformed
     # code (no valid mode/EOFB sequence is all zeros): decode it as
-    # done instead of raising (ADVICE r2). Computed once — a per-row
-    # .any() rescan would make decode O(rows x bits).
-    set_bits = np.flatnonzero(br.bits)
-    last_set = int(set_bits[-1]) if set_bits.size else -1
+    # done instead of raising (ADVICE r2). Computed once, and only on
+    # the unbounded path — a per-row .any() rescan would make decode
+    # O(rows x bits), and bounded decodes never consult it.
+    last_set = -1
+    if rows is None:
+        set_bits = np.flatnonzero(br.bits)
+        last_set = int(set_bits[-1]) if set_bits.size else -1
     while rows is None or len(out_rows) < rows:
         if byte_align:
             br.align()

@@ -8,7 +8,7 @@ import os
 
 import pytest
 
-from tests.conftest import FIXTURES, REPO
+from tests.conftest import FIXTURES, PAYLOADS, REPO
 
 REFERENCE = "/root/reference"
 DUMPDIR = os.path.join(FIXTURES, "goldens", "dump")
@@ -16,7 +16,8 @@ FREE = ["simple1", "simple2", "simple3", "jo"]
 
 
 def _pdf(name):
-    with open(os.path.join(REFERENCE, "samples", name + ".pdf"), "rb") as fp:
+    """Vendored sample payloads — offline-capable, no reference needed."""
+    with open(os.path.join(PAYLOADS, name + ".pdf"), "rb") as fp:
         return fp.read()
 
 
@@ -72,11 +73,39 @@ def test_all_modes_match_live_reference():
 def test_dump_cli_smoke(tmp_path, capsys):
     from pdfminer_spark.dumpcli import main
 
-    path = os.path.join(REFERENCE, "samples", "simple1.pdf")
+    path = os.path.join(PAYLOADS, "simple1.pdf")
     assert main(["dumpcli", "-a", path]) == 0
     out = capsys.readouterr().out
     assert out.startswith("<pdf><object id=")
     assert "<trailer>" in out
+
+
+def test_dump_cli_raw_mode_byte_exact(tmp_path):
+    """-r must write stream bytes VERBATIM (a UTF-8 text handle would
+    expand every byte >= 0x80; review finding)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import zlib
+
+    from gen_testpdfs import _classic_pdf, _stream_obj
+
+    raw = bytes(range(256)) * 4
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 10 10] "
+            b"/Contents 4 0 R >>"),
+        4: _stream_obj(b"/Filter /FlateDecode", zlib.compress(raw)),
+    }
+    pdf_path = tmp_path / "raw.pdf"
+    pdf_path.write_bytes(_classic_pdf(objs))
+    out = tmp_path / "dump.bin"
+    from pdfminer_spark.dumpcli import main
+
+    assert main(["dumpcli", "-b", "-i", "4", "-o", str(out),
+                 str(pdf_path)]) == 0
+    assert out.read_bytes() == raw  # decoded stream, byte-for-byte
 
 
 def test_dumpoutline_no_crash_on_outlines(tmp_path):
