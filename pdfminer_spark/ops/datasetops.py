@@ -97,6 +97,47 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- temperature-based source mixing ---------------------------------------------------
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T source mixing at T=2: per-source keep-rate
+    proportional to sqrt(source size), normalized so the largest source
+    keeps everything — the standard rare-source upsampling curve
+    (multilingual/mixture training), expressed as deterministic hash
+    sampling so any re-run or resume selects the identical subset.
+
+    Cross-engine note: T is fixed at 2 because sqrt is CORRECTLY
+    ROUNDED under IEEE-754 — both engines compute bit-identical rates —
+    while a general pow(x, 1/T) may differ in the last ulp between
+    libm implementations and flip a cutoff. The integer cutoff is
+    round-half-up(100 * rate).
+
+    Scale: one tiny per-group count aggregate (broadcast back), then a
+    stateless map-side filter over the scan — no shuffle of documents.
+    The driver corpus's source column is perfectly uniform (temperature
+    sampling of equal sources is the identity), so the mixture group is
+    derived with a skewed 60/30/10 split to make the curve observable;
+    swap mix_group for the real source/language column in production."""
+    d = _docs(spark, sf_dir)
+    mix_group = (F.when(F.col("doc_id") % 10 < 6, "head")
+                 .when(F.col("doc_id") % 10 < 9, "mid")
+                 .otherwise("tail"))
+    d = d.withColumn("mix_group", mix_group)
+    counts = d.groupBy("mix_group").agg(F.count("*").alias("n_src"))
+    max_n = counts.agg(F.max("n_src").alias("n_max"))
+    rates = (counts.crossJoin(F.broadcast(max_n))
+             .select("mix_group",
+                     F.floor(F.lit(100.0) * F.sqrt(F.col("n_src"))
+                             / F.sqrt(F.col("n_max")) + F.lit(0.5))
+                     .cast("int").alias("cutoff")))
+    ticket = (_hex2long(F.md5(F.col("doc_id").cast("string")), 1) % 100) \
+        .cast("int")
+    return (d.select("doc_id", "mix_group", ticket.alias("ticket"))
+            .join(F.broadcast(rates), "mix_group")
+            .where(F.col("ticket") < F.col("cutoff"))
+            .select("doc_id", "mix_group", "ticket", "cutoff"))
+
+
 # -- sequence packing (bin assignment) ------------------------------------------------
 
 _SEQ_WINDOW = 512  # tokens per packed training sequence
@@ -312,6 +353,31 @@ ORACLES: dict[str, str] = {
     """.format(stride=_CHUNK_STRIDE, size=_CHUNK_TOKENS),
 }
 
+ORACLES["temperature_sample"] = """
+    WITH grouped AS (
+      SELECT doc_id,
+             CASE WHEN doc_id %% 10 < 6 THEN 'head'
+                  WHEN doc_id %% 10 < 9 THEN 'mid'
+                  ELSE 'tail' END AS mix_group
+      FROM documents
+    ), counts AS (
+      SELECT mix_group, COUNT(*) AS n_src FROM grouped GROUP BY mix_group
+    ), rates AS (
+      SELECT mix_group,
+             FLOOR(100.0 * SQRT(n_src) /
+                   SQRT((SELECT MAX(n_src) FROM counts)) + 0.5)::INT
+               AS cutoff
+      FROM counts
+    ), tickets AS (
+      SELECT doc_id, mix_group,
+             (%s %% 100)::INT AS ticket
+      FROM grouped
+    )
+    SELECT doc_id, t.mix_group, ticket, cutoff
+    FROM tickets t JOIN rates r ON t.mix_group = r.mix_group
+    WHERE ticket < cutoff
+""" % _hex2int_sql("MD5(doc_id::VARCHAR)", 1)
+
 ORACLES["pack_sequences"] = """
     WITH toks AS (
       SELECT source, doc_id,
@@ -362,4 +428,5 @@ QUERIES = {
     "pack_chunks": pack_chunks,
     "normalize_text": normalize_text,
     "pack_sequences": pack_sequences,
+    "temperature_sample": temperature_sample,
 }
