@@ -1,9 +1,10 @@
 """pdf2txt-compatible CLI (reference tools/pdf2txt.py flag surface).
 
     python -m pdfminer_spark.cli [-P password] [-o output] [-t text|xml|html|tag]
-        [-p pagenos] [-m maxpages] [-S] [-n] [-A] [-V]
-        [-M char_margin] [-L line_margin] [-W word_margin] [-F boxes_flow]
-        [-Y layoutmode] [-s scale] input.pdf ...
+        [-O image_dir] [-c encoding] [-s scale] [-R rotation]
+        [-Y normal|loose|exact] [-p pagenos] [-m maxpages]
+        [-S] [-C] [-n] [-A] [-V] [-M char_margin] [-L line_margin]
+        [-W word_margin] [-F boxes_flow] [-d] input.pdf ...
 
 A user of the reference's ``pdf2txt.py`` can switch to this entry point with
 the same flags and get byte-identical output (goldens in tests/).
@@ -39,12 +40,24 @@ def main(argv=None) -> int:
     pagenos: set[int] = set()
     maxpages = 0
     stripcontrol = False
+    imagedir = None
+    rotation = 0
+    caching = True
+    debug = 0
     laparams: LAParams | None = LAParams()
     for (k, v) in opts:
-        if k == "-P":
+        if k == "-d":
+            debug += 1
+        elif k == "-P":
             password = v.encode("ascii")
         elif k == "-o":
             outfile = v
+        elif k == "-O":
+            imagedir = v
+        elif k == "-R":
+            rotation = int(v)
+        elif k == "-C":
+            caching = False
         elif k == "-t":
             outtype = v
         elif k == "-c":
@@ -90,20 +103,38 @@ def main(argv=None) -> int:
         with open(fname, "rb") as fp:
             data = fp.read()
         kwargs = dict(password=password, page_numbers=page_numbers,
-                      maxpages=maxpages, laparams=laparams)
+                      maxpages=maxpages, laparams=laparams,
+                      rotation=rotation, caching=caching)
+        pages = None
+        if imagedir is not None and outtype in ("text", "xml", "html"):
+            # one interpretation feeds both the text sink and the image
+            # sink (reference: ImageWriter exports during receive_layout)
+            from pdfminer_spark.pdf.extract import extract_pages
+            from pdfminer_spark.pdf.images import write_layout_images
+
+            pages = extract_pages(data, **kwargs)
+            written = write_layout_images(pages, imagedir)
+            if debug:
+                for w in written:
+                    print("extracted image: %s/%s" % (imagedir, w),
+                          file=sys.stderr)
+        if debug:
+            print("processing %s (%s)" % (fname, outtype), file=sys.stderr)
         if outtype == "text":
             from pdfminer_spark.pdf.extract import extract_text
 
-            pieces.append(extract_text(data, **kwargs))
+            pieces.append(extract_text(data, pages=pages, **kwargs))
         elif outtype == "xml":
             from pdfminer_spark.pdf.xmlout import extract_xml
 
-            pieces.append(extract_xml(data, stripcontrol=stripcontrol, **kwargs))
+            pieces.append(extract_xml(data, stripcontrol=stripcontrol,
+                                      pages=pages, **kwargs))
         elif outtype == "html":
             from pdfminer_spark.pdf.htmlout import extract_html
 
             pieces.append(extract_html(data, scale=scale,
-                                       layoutmode=layoutmode, **kwargs))
+                                       layoutmode=layoutmode,
+                                       pages=pages, **kwargs))
         elif outtype == "tag":
             from pdfminer_spark.pdf.tags import extract_tags
 

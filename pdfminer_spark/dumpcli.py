@@ -1,7 +1,8 @@
 """dumppdf-compatible CLI (reference tools/dumppdf.py flag surface).
 
     python -m pdfminer_spark.dumpcli [-P password] [-a] [-p pageid]
-        [-i objid] [-o output] [-r|-b|-t] [-T] input.pdf ...
+        [-i objid] [-o output] [-r|-b|-t] [-T] [-O output_dir]
+        input.pdf ...
 
 Byte-identical output to the reference tool for the trailer / -a / -i /
 -p / -t modes (goldens in tests/test_dump.py). -T dumps outlines; the
@@ -22,7 +23,7 @@ def main(argv=None) -> int:
         return 100
 
     try:
-        (opts, args) = getopt.getopt(argv[1:], "dP:ap:i:o:rbtT")
+        (opts, args) = getopt.getopt(argv[1:], "dP:ap:i:o:rbtTO:")
     except getopt.GetoptError:
         return usage()
     if not args:
@@ -34,6 +35,7 @@ def main(argv=None) -> int:
     dumpall = False
     outlines = False
     outfile = None
+    extractdir = None
     for (k, v) in opts:
         if k == "-P":
             password = v.encode("ascii")
@@ -53,14 +55,22 @@ def main(argv=None) -> int:
             mode = "text"
         elif k == "-T":
             outlines = True
+        elif k == "-O":
+            extractdir = v
 
-    from pdfminer_spark.pdf.dump import dump_pdf, dumpoutline
+    from pdfminer_spark.pdf.dump import (dump_pdf, dumpoutline,
+                                         extract_embedded_to_dir)
 
     out_parts: list[str] = []
     for fname in args:
         with open(fname, "rb") as fp:
             data = fp.read()
-        if outlines:
+        if extractdir is not None:
+            for name in extract_embedded_to_dir(data, extractdir,
+                                                password=password):
+                print("extracting: %r" % (extractdir + "/" + name),
+                      file=sys.stderr)
+        elif outlines:
             import io
 
             buf = io.StringIO()

@@ -205,8 +205,12 @@ class XRefStream:
 class PdfDocument:
     """Parsed document handle: xref chain, trailer, catalog, object cache."""
 
-    def __init__(self, buf: bytes, password: bytes = b"", fallback: bool = True):
+    def __init__(self, buf: bytes, password: bytes = b"", fallback: bool = True,
+                 caching: bool = True):
         self.buf = buf
+        # caching=False disables the object/objstm memo tables (reference
+        # PDFDocument(caching=...), pdfdocument.py:122 — output-identical)
+        self.caching = caching
         self.xrefs: list = []
         self.catalog: dict | None = None
         self.encryption = None
@@ -314,7 +318,8 @@ class PdfDocument:
         if objid in self._cache:
             return self._cache[objid]
         obj = self._getobj_uncached(objid)
-        self._cache[objid] = obj
+        if self.caching:
+            self._cache[objid] = obj
         return obj
 
     def _getobj_uncached(self, objid: int):
@@ -369,7 +374,8 @@ class PdfDocument:
             n = int_value(resolve1(stream.get("N")))
             sub = ContentParser(stream.get_data(), doc=self)
             objs = [o for (_, o) in sub.iter_objects()]
-            self._objstm_cache[key] = (objs, n)
+            if self.caching:
+                self._objstm_cache[key] = (objs, n)
         i = n * 2 + index
         if i >= len(objs):
             raise PdfSyntaxError("objstm index out of range")

@@ -116,21 +116,63 @@ def dumpallobjs(out, doc: PdfDocument, mode: str | None = None) -> None:
 
 
 def dumpoutline(out, data: bytes, password: bytes = b"") -> None:
-    """<outlines> dump; same structure as the reference intends (its own
-    implementation NameErrors on non-empty outlines)."""
-    from .tags import get_outlines
+    """<outlines> dump with resolved destinations and page numbers, as the
+    reference intends (tools/dumppdf.py:120-163 — its own implementation
+    NameErrors on non-empty outlines, so there is no byte-parity target;
+    the <dest>/<pageno> structure follows its code path exactly)."""
+    from .objects import Name, resolve1
+    from .tags import get_dest, iter_outlines
     from .xmlout import q
 
-    items = list(get_outlines(data, password=password))
+    doc = PdfDocument(data, password=password)
+    items = list(iter_outlines(doc))
     if not items:
         return
+    pages = {page.pageid: pageno
+             for (pageno, page) in enumerate(doc.get_pages())}
+
+    def resolve_dest(dest):
+        dest = resolve1(dest)
+        if isinstance(dest, bytes):
+            dest = resolve1(get_dest(doc, dest))
+        elif isinstance(dest, Name):
+            dest = resolve1(get_dest(doc, dest.encode("latin-1")))
+        if isinstance(dest, dict):
+            dest = dest["D"]
+        return dest
+
+    def page_of(dest):
+        try:
+            return pages[resolve1(dest)[0].objid]
+        except (KeyError, AttributeError, IndexError, TypeError):
+            return None
+
     out.write("<outlines>\n")
-    for (level, title, dest) in items:
+    for (level, title, dest, action) in items:
+        pageno = None
+        if dest is not None:
+            try:
+                dest = resolve_dest(dest)
+            except KeyError:
+                dest = None
+            pageno = page_of(dest)
+        elif action is not None:
+            action = resolve1(action)
+            if isinstance(action, dict) and \
+                    str(resolve1(action.get("S"))) == "GoTo" and \
+                    action.get("D") is not None:
+                try:
+                    dest = resolve_dest(action["D"])
+                except KeyError:
+                    dest = None
+                pageno = page_of(dest)
         out.write('<outline level="%r" title="%s">\n' % (level, q(title)))
         if dest is not None:
             out.write("<dest>")
             dumpxml(out, dest)
             out.write("</dest>\n")
+        if pageno is not None:
+            out.write("<pageno>%r</pageno>\n" % pageno)
         out.write("</outline>\n")
     out.write("</outlines>\n")
 
@@ -167,3 +209,28 @@ def dump_pdf(data: bytes, password: bytes = b"", objids=(), pagenos=(),
     if mode not in ("raw", "binary"):
         out.write("\n")
     return out.getvalue()
+
+
+def extract_embedded_to_dir(data: bytes, extractdir: str,
+                            password: bytes = b"") -> list[str]:
+    """dumppdf -O: write every /Filespec attachment into ``extractdir``
+    (reference tools/dumppdf.py:166-198). Reference file semantics kept:
+    basename() of the declared name, refuse to overwrite an existing
+    file. Divergences from the reference's py3-broken implementation
+    (documented): ``UF`` is optional (its ``obj['UF']`` KeyErrors), and
+    the name is decoded to str (its bytes/str os.path.join TypeErrors)."""
+    import os
+
+    from .tags import extract_embedded_files
+
+    os.makedirs(extractdir, exist_ok=True)
+    written = []
+    for row in extract_embedded_files(data, password=password):
+        filename = os.path.basename(row["filename"])
+        path = os.path.join(extractdir, filename)
+        if os.path.exists(path):
+            raise IOError("file exists: %r" % path)
+        with open(path, "wb") as fp:
+            fp.write(row["payload"])
+        written.append(filename)
+    return written

@@ -17,9 +17,10 @@ class ExtractionNotAllowed(Exception):
 
 
 def open_pages(data: bytes, password: bytes = b"", page_numbers=None,
-               maxpages: int = 0, check_extractable: bool = True):
+               maxpages: int = 0, check_extractable: bool = True,
+               caching: bool = True):
     """Yield raw (un-interpreted) PdfPage objects."""
-    doc = PdfDocument(data, password=password)
+    doc = PdfDocument(data, password=password, caching=caching)
     if check_extractable and not doc.is_extractable:
         raise ExtractionNotAllowed("text extraction is not allowed")
     for (pageno, page) in enumerate(doc.get_pages()):
@@ -35,18 +36,25 @@ _DEFAULT_LA = object()
 
 def extract_pages(data: bytes, password: bytes = b"", page_numbers=None,
                   maxpages: int = 0, laparams=_DEFAULT_LA,
-                  collect_shapes: bool = True) -> list[Page]:
+                  collect_shapes: bool = True, rotation: int = 0,
+                  caching: bool = True) -> list[Page]:
     """Parse + interpret + layout-analyze; returns Page layout trees.
 
     Pass ``laparams=None`` explicitly to skip layout analysis entirely
-    (the reference's ``-n`` flag: raw chars in emission order)."""
+    (the reference's ``-n`` flag: raw chars in emission order).
+    ``rotation`` adds to each page's /Rotate before interpretation
+    (reference pdf2txt.py:110 ``page.rotate = (page.rotate+rotation)%360``);
+    ``caching=False`` disables the object/font memo tables (reference
+    ``-C``, a perf toggle with identical output)."""
     if laparams is _DEFAULT_LA:
         laparams = LAParams()
-    rsrc = ResourceCache()
+    rsrc = ResourceCache(caching=caching)
     interp = Interpreter(rsrc, laparams, collect_shapes=collect_shapes)
     pages = []
     for page in open_pages(data, password=password, page_numbers=page_numbers,
-                           maxpages=maxpages):
+                           maxpages=maxpages, caching=caching):
+        if rotation:
+            page.rotate = (page.rotate + rotation) % 360
         pages.append(interp.process_page(page))
     return pages
 
@@ -63,14 +71,21 @@ def render_text(item, out: list) -> None:
 
 
 def extract_text(data: bytes, password: bytes = b"", page_numbers=None,
-                 maxpages: int = 0, laparams=_DEFAULT_LA) -> str:
-    """Full text of the selected pages, golden-compatible with pdf2txt.py."""
+                 maxpages: int = 0, laparams=_DEFAULT_LA, rotation: int = 0,
+                 caching: bool = True, pages=None) -> str:
+    """Full text of the selected pages, golden-compatible with pdf2txt.py.
+
+    ``pages`` short-circuits parsing with pre-analyzed Page trees (the CLI
+    ``-O`` path renders text and exports images from one interpretation)."""
     out: list[str] = []
     # shapes are never emitted as text: skip collecting them (the
     # reference's TextConverter.paint_path no-op memory optimization)
-    for page in extract_pages(data, password=password,
+    if pages is None:
+        pages = extract_pages(data, password=password,
                               page_numbers=page_numbers, maxpages=maxpages,
-                              laparams=laparams, collect_shapes=False):
+                              laparams=laparams, collect_shapes=False,
+                              rotation=rotation, caching=caching)
+    for page in pages:
         render_text(page, out)
         out.append("\f")
     return "".join(out)

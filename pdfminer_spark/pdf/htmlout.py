@@ -190,13 +190,16 @@ def pages_to_html(pages: list, **kwargs) -> str:
 
 
 def extract_html(data: bytes, password: bytes = b"", page_numbers=None,
-                 maxpages: int = 0, laparams="__default__", **kwargs) -> str:
+                 maxpages: int = 0, laparams="__default__", rotation: int = 0,
+                 caching: bool = True, pages=None, **kwargs) -> str:
     from .extract import _DEFAULT_LA, extract_pages
 
     if laparams == "__default__":
         laparams = _DEFAULT_LA
 
-    pages = extract_pages(data, password=password, page_numbers=page_numbers,
-                          maxpages=maxpages, laparams=laparams,
-                          collect_shapes=True)
+    if pages is None:
+        pages = extract_pages(data, password=password,
+                              page_numbers=page_numbers, maxpages=maxpages,
+                              laparams=laparams, collect_shapes=True,
+                              rotation=rotation, caching=caching)
     return pages_to_html(pages, **kwargs)

@@ -119,14 +119,15 @@ class ResourceCache:
     """Per-document font cache keyed by font objid
     (reference PDFResourceManager, pdfinterp.py:133-211)."""
 
-    def __init__(self):
+    def __init__(self, caching: bool = True):
         self._fonts: dict[int, Font] = {}
+        self.caching = caching
 
     def get_font(self, objid, spec) -> Font:
         if objid is not None and objid in self._fonts:
             return self._fonts[objid]
         font = make_font(spec)
-        if objid is not None:
+        if objid is not None and self.caching:
             self._fonts[objid] = font
         return font
 
@@ -690,7 +691,8 @@ class Interpreter:
             fig.add(ImageItem(
                 xobjid, fig.bbox,
                 (resolve1(xobj.get("Width")), resolve1(xobj.get("Height"))),
-                int_value(resolve1(xobj.get("BitsPerComponent", 1)))))
+                int_value(resolve1(xobj.get("BitsPerComponent", 1))),
+                stream=xobj))
             self.cur_item.add(fig)
 
     def op_EI(self, obj):
@@ -703,7 +705,8 @@ class Interpreter:
             fig.add(ImageItem(name, fig.bbox,
                               (obj.get_any(("W", "Width")),
                                obj.get_any(("H", "Height"))),
-                              int_value(obj.get_any(("BPC", "BitsPerComponent"), 1))))
+                              int_value(obj.get_any(("BPC", "BitsPerComponent"), 1)),
+                              stream=obj))
             self.cur_item.add(fig)
 
     # -- marked content / compatibility: no-ops ------------------------------------------------

@@ -294,13 +294,16 @@ class Shape(Item):
 
 
 class ImageItem(Item):
-    __slots__ = ("name", "srcsize", "bits")
+    __slots__ = ("name", "srcsize", "bits", "stream")
 
-    def __init__(self, name, bbox, srcsize, bits):
+    def __init__(self, name, bbox, srcsize, bits, stream=None):
         (self.x0, self.y0, self.x1, self.y1) = bbox
         self.name = name
         self.srcsize = srcsize
         self.bits = bits
+        # the source Stream, kept for the -O image-export path (reference
+        # LTImage.stream, layout.py:187-200); None for synthetic items
+        self.stream = stream
 
 
 class Figure(Container):

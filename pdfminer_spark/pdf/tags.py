@@ -250,13 +250,12 @@ def extract_embedded_files(data: bytes, password: bytes = b"") -> list[dict]:
     return out
 
 
-def get_outlines(data: bytes, password: bytes = b""):
-    """Yield (level, title, dest) from the document outline tree
-    (reference pdfdocument.py:693-713)."""
+def iter_outlines(doc: PdfDocument):
+    """Yield (level, title, raw dest, raw action) from the outline tree
+    (reference pdfdocument.py:693-713, which also yields the action)."""
     from .lexer import LexerEOF
     from .parser import ParserEOF
 
-    doc = PdfDocument(data, password=password)
     catalog = doc.catalog or {}
     if "Outlines" not in catalog:
         return
@@ -270,8 +269,7 @@ def get_outlines(data: bytes, password: bytes = b""):
         entry = dict_value(resolve1(entry))
         if "Title" in entry and ("A" in entry or "Dest" in entry):
             title = decode_text(bytes_value(resolve1(entry["Title"])))
-            dest = entry.get("Dest")
-            yield (level, title, resolve1(dest))
+            yield (level, title, entry.get("Dest"), entry.get("A"))
         if "First" in entry and "Last" in entry:
             yield from search(entry["First"], level + 1)
         if "Next" in entry:
@@ -281,3 +279,10 @@ def get_outlines(data: bytes, password: bytes = b""):
         yield from search(catalog["Outlines"], 0)
     except (ParserEOF, LexerEOF, RecursionError):
         return
+
+
+def get_outlines(data: bytes, password: bytes = b""):
+    """Yield (level, title, dest) from the document outline tree."""
+    doc = PdfDocument(data, password=password)
+    for (level, title, dest, _a) in iter_outlines(doc):
+        yield (level, title, resolve1(dest))

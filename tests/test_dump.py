@@ -57,17 +57,34 @@ def test_all_modes_match_live_reference():
                     "nonfree/kampo", "nonfree/naacl06-shinyama",
                     "nonfree/nlp2004slides"]
     modes = [{"dumpall": True}, {}, {"pagenos": {0}}, {"objids": [1]},
-             {"dumpall": True, "mode": "text"}]
+             {"dumpall": True, "mode": "text"},
+             # pagenos+mode exercises the page content-stream dump branch
+             # (stream_value path) — round-3 advice: pin its byte parity
+             {"pagenos": {0}, "mode": "text"},
+             {"pagenos": {0}, "mode": "raw"}]
     for name in names:
         path = os.path.join(REFERENCE, "samples", name + ".pdf")
         data = open(path, "rb").read()
         for kw in modes:
-            out = io.StringIO()
+            raw_mode = kw.get("mode") in ("raw", "binary")
+            if raw_mode:
+                # the reference writes stream payloads to out.buffer:
+                # capture bytes through a write-through text wrapper
+                buf = io.BytesIO()
+                out = io.TextIOWrapper(buf, encoding="utf-8",
+                                       write_through=True)
+            else:
+                out = io.StringIO()
             g["dumppdf"](out, path, kw.get("objids", []),
                          kw.get("pagenos", set()), password=b"",
                          dumpall=kw.get("dumpall", False),
                          mode=kw.get("mode"))
-            assert dump_pdf(data, **kw) == out.getvalue(), (name, kw)
+            if raw_mode:
+                out.flush()
+                assert dump_pdf(data, **kw).encode("latin-1") == \
+                    buf.getvalue(), (name, kw)
+            else:
+                assert dump_pdf(data, **kw) == out.getvalue(), (name, kw)
 
 
 def test_dump_cli_smoke(tmp_path, capsys):
@@ -134,3 +151,51 @@ def test_dumpoutline_no_crash_on_outlines(tmp_path):
     out = buf.getvalue()
     assert '<outline level="1" title="Chapter 1">' in out
     assert '<outline level="2" title="Section 1.1">' in out
+    # dests resolve to page 3 0 R == pageno 0 (reference dumppdf.py:157
+    # emits <pageno>%r</pageno> when the dest's first element is a page)
+    assert out.count("<pageno>0</pageno>") == 2
+    assert '<dest><list size="5">' in out
+
+
+def test_dumpoutline_goto_action_and_named_dest():
+    """No /Dest: a /A GoTo action supplies it; named (string) dests go
+    through the name tree (reference dumppdf.py:128-149)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gen_testpdfs import basic
+
+    extra = {
+        6: b"<< /Type /Outlines /First 7 0 R /Last 8 0 R /Count 2 >>",
+        7: (b"<< /Title (Via Action) /Parent 6 0 R /Next 8 0 R "
+            b"/A << /S /GoTo /D [3 0 R /Fit] >> >>"),
+        8: b"<< /Title (Via Name) /Parent 6 0 R /Dest (top) >>",
+        9: b"<< /Names [ (top) [3 0 R /XYZ 0 792 null] ] >>",
+    }
+    pdf = basic(b"BT /F1 12 Tf 72 720 Td (x) Tj ET", extra_objects=extra)
+    pdf = pdf.replace(
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R "
+        b"/Names << /Dests 9 0 R >> >>")
+    from pdfminer_spark.pdf.dump import dumpoutline
+
+    buf = io.StringIO()
+    dumpoutline(buf, pdf)
+    out = buf.getvalue()
+    assert out.count("<pageno>0</pageno>") == 2
+    assert '<outline level="1" title="Via Action">' in out
+    assert '<outline level="1" title="Via Name">' in out
+
+
+def test_dump_cli_embedded_extract(tmp_path, capsys):
+    """dumppdf -O: write attachments to a directory (reference
+    tools/dumppdf.py:166-198); refuses to overwrite."""
+    from pdfminer_spark.dumpcli import main
+
+    path = os.path.join(PAYLOADS, "synthetic", "attach.pdf")
+    outdir = tmp_path / "emb"
+    assert main(["dumpcli", "-O", str(outdir), path]) == 0
+    assert (outdir / "notes.txt").read_bytes() == b"attachment payload bytes\n"
+    assert "extracting:" in capsys.readouterr().err
+    with pytest.raises(IOError):
+        main(["dumpcli", "-O", str(outdir), path])
