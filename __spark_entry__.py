@@ -93,11 +93,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfminer_spark.ops import (datasetops, layoutops, multimodal,
-                                    relational, similarity, sketches,
-                                    temporal, textops)
+    from pdfminer_spark.ops import (curationops, datasetops, layoutops,
+                                    multimodal, relational, similarity,
+                                    sketches, temporal, textops)
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(curationops.QUERIES)
     q.update(relational.QUERIES)
     q.update(temporal.QUERIES)
     q.update(sketches.QUERIES)
@@ -113,11 +114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdfminer_spark.ops import (datasetops, layoutops, multimodal,
-                                    relational, similarity, sketches,
-                                    temporal, textops)
+    from pdfminer_spark.ops import (curationops, datasetops, layoutops,
+                                    multimodal, relational, similarity,
+                                    sketches, temporal, textops)
 
     o: dict[str, str] = {}
+    o.update(curationops.ORACLES)
     o.update(relational.ORACLES)
     o.update(temporal.ORACLES)
     o.update(sketches.ORACLES)

@@ -129,6 +129,57 @@ def candidate_telemetry(spark) -> dict:
     }
 
 
+def skew_telemetry(spark, cpus: int) -> dict:
+    """Skew-hardening evidence (round-3 verdict #8): the same extraction
+    job on a uniform conversation distribution vs one where a single
+    giant conversation holds 20% of all turns. The pipeline's salted
+    repartition on conv_id is the skew defense; this publishes its
+    measured effect per round — skew_ratio (skewed/uniform throughput)
+    near 1.0 means the giant key costs nothing, a slide toward the
+    1/(salt) floor means the salting regressed. Assumes the session is
+    already warm (run after run_extraction)."""
+    from pdfminer_spark.spark.fixtures import build_transcripts_scaled
+    from pdfminer_spark.spark.pipeline import extract_transcripts
+
+    n = _bench_turns()
+    frames = {}
+    for (label, frac) in (("uniform", 0.0), ("skewed", 0.2)):
+        df = build_transcripts_scaled(spark, n_turns=n, giant_frac=frac,
+                                      num_partitions=cpus * 4).cache()
+        frames[label] = (df, df.count())
+
+    def one_pass(label: str) -> float:
+        (df, cnt) = frames[label]
+        t0 = time.time()
+        extract_transcripts(df, page_numbers=[0], salt=16,
+                            num_partitions=cpus * 4).count()
+        return cnt / (time.time() - t0)
+
+    # interleave (uniform, skewed) inside each rep so both variants of a
+    # ratio share the box's noisy-neighbor phase — the same same-rep
+    # estimator the scaling probe uses; cross-rep pairing once produced
+    # a nonsense ratio > 1.5 from phase drift between the variants
+    best: dict[str, float] = {}
+    ratios = []
+    for _ in range(2):
+        u = one_pass("uniform")
+        s = one_pass("skewed")
+        best["uniform"] = max(best.get("uniform", 0.0), u)
+        best["skewed"] = max(best.get("skewed", 0.0), s)
+        ratios.append(s / u)
+    for (df, _cnt) in frames.values():
+        df.unpersist()
+    return {
+        "giant_frac": 0.2,
+        "uniform_tps": round(best["uniform"], 2),
+        "skewed_tps": round(best["skewed"], 2),
+        # clamp at 1.0 (skewed faster than uniform is a noise draw, not
+        # a claim); raw per-rep ratios published alongside, as scaling's
+        "skew_ratio": round(min(1.0, max(ratios)), 3),
+        "skew_ratios_raw": [round(r, 3) for r in ratios],
+    }
+
+
 def fresh_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -159,6 +210,7 @@ def main() -> None:
         "cpus": CPUS,
         "queries": queries,
         "candidate_rates": candidate_telemetry(spark),
+        "skew": skew_telemetry(spark, CPUS),
     })
 
     spark.stop()

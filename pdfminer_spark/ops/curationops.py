@@ -1,0 +1,251 @@
+"""Corpus-curation operators (round 4): the published web-curation
+recipes as first-class DataFrame ops over the ``documents`` table —
+Gopher quality rules, C4-style line filtering, cross-document
+paragraph-level dedup, heavy-hitter token stats, and per-source quota
+sampling. Everything is JVM-expression-level (no Python UDFs), each with
+a DuckDB oracle.
+
+Unit note: the synthetic corpus has no newlines, so "line"/"paragraph"
+units are derived as consecutive 10-word windows — boundary choice
+aside, the operator mechanics (explode -> per-unit rule/hash ->
+keep-first window -> ordered reassembly) are exactly the production
+shape and are what the oracles pin.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textops import _docs
+
+_WIN = 10  # words per derived line/paragraph window
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+# C4-style blocklist; 'spark'/'window' are in the synthetic vocabulary so
+# the rule actually fires on this corpus (a list that never matches would
+# leave the drop path unpinned)
+_BLOCKLIST = ("spark", "window", "javascript")
+
+
+def _words(col="text"):
+    return F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9']+"),
+                    lambda w: w != "")
+
+
+def _windows(words):
+    """array<array<string>>: consecutive _WIN-word slices (last may be
+    short)."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / _WIN).cast("int"))
+    return F.transform(idx, lambda i: F.slice(words, i * _WIN + 1, _WIN))
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1) re-fit to this
+    corpus's scale: word count >= 20, mean word length in [3, 10],
+    fraction of words containing an alphabetic character >= 0.80, and at
+    least 2 distinct stop words. Emits the per-doc metrics plus the pass
+    verdict — the metrics are the curation dashboard, the verdict the
+    filter.
+
+    Scale: pure per-row expressions over one scan; no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    w = _words()
+    n_words = F.size(w)
+    mean_wl = F.round(F.length(F.concat_ws("", w)) / n_words, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n_words, 6)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(w), F.array(*[F.lit(s) for s in _STOPWORDS])))
+    passes = ((n_words >= 20) & (mean_wl >= 3) & (mean_wl <= 10)
+              & (alpha_ratio >= 0.8) & (stop_hits >= 2))
+    return d.select(
+        "doc_id", n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("n_stopwords"),
+        passes.cast("boolean").alias("passes"),
+    )
+
+
+def line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-line filtering (Raffel et al. 2020, §2.2): split each
+    document into lines (10-word windows here), drop lines with fewer
+    than 5 words or containing a blocklisted term, and reassemble the
+    document from the survivors in order. Emits kept text + drop
+    accounting per document.
+
+    Scale: explode + groupBy(doc_id) with map-side partial aggregation;
+    the per-line predicate is expression-level inside the explode."""
+    d = _docs(spark, sf_dir)
+    lines = F.transform(_windows(_words()), lambda ws: F.array_join(ws, " "))
+    e = d.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+    lw = F.split(F.col("line"), " ")
+    banned = F.arrays_overlap(
+        lw, F.array(*[F.lit(b) for b in _BLOCKLIST]))
+    keep = (F.size(lw) >= 5) & ~banned
+    return (e.withColumn("keep", keep)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("keep").cast("int")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]), " ").alias("kept_text")))
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph-level dedup (the boilerplate killer in
+    every published web-curation pipeline): hash each paragraph (10-word
+    window), keep only the FIRST occurrence corpus-wide (ordered by
+    doc_id, then position), and reassemble documents from surviving
+    paragraphs. Emits per-doc paragraph counts and the deduped text.
+
+    Scale: one explode -> one window over md5(paragraph) (shuffle keyed
+    by content hash — uniform by construction, no skew) -> one ordered
+    groupBy(doc_id) reassembly. Never compares text pairwise."""
+    d = _docs(spark, sf_dir)
+    paras = F.transform(_windows(_words()), lambda ws: F.array_join(ws, " "))
+    e = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    return (ranked
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum((F.col("rn") > 1).cast("int")).alias("n_dup_paras"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("rn") == 1,
+                                    F.struct("pos", "para")))),
+                         lambda s: s["para"]), " ").alias("dedup_text")))
+
+
+_TOPK_TOKENS = 50
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 token frequencies (vocabulary head / stopword
+    discovery). Deterministic order: count desc, then token asc — the
+    tie rule makes the boundary of the top-k stable across engines.
+
+    Scale: explode -> groupBy(token) count (map-side partial combine) ->
+    TakeOrderedAndProject for the limit; an approximate companion via
+    count-min sketch is accuracy-tested in pytest (sketch paths are not
+    oracle material, same policy as ops/sketches.py)."""
+    d = _docs(spark, sf_dir)
+    return (d.select(F.explode(_words()).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(_TOPK_TOKENS))
+
+
+_QUOTA_PER_SOURCE = 10
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (the per-domain cap every crawl
+    pipeline applies so one host cannot dominate the mix): keep at most
+    10 documents per source, selected by md5(doc_id) ticket — a
+    deterministic, content-addressed choice that is identical on any
+    cluster size and on re-runs, unlike random() sampling.
+
+    Scale: one window per source partition; source cardinality is the
+    shuffle key so a giant source still caps at quota rows OUTPUT, and
+    the rank-k cutoff needs no global sort."""
+    d = _docs(spark, sf_dir)
+    ticket = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(ticket, F.col("doc_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _QUOTA_PER_SOURCE)
+            .select("doc_id", "source", F.col("rn").alias("quota_rank")))
+
+
+_SQL_WORDS = ("LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), "
+              "'[^a-z0-9'']+'), x -> x <> '')")
+
+_SQL_WINDOWS = f"""
+          SELECT doc_id, i AS pos,
+                 ARRAY_TO_STRING(w[i * {_WIN} + 1 : i * {_WIN} + {_WIN}],
+                                 ' ') AS line
+          FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+               UNNEST(RANGE(0, ((LEN(w) - 1) // {_WIN}) + 1)) AS t(i)
+"""
+
+ORACLES: dict[str, str] = {
+    "gopher_quality": f"""
+        SELECT doc_id,
+               LEN(w) AS n_words,
+               ROUND(LENGTH(ARRAY_TO_STRING(w, ''))::DOUBLE / LEN(w), 6)
+                 AS mean_word_len,
+               ROUND(LEN(LIST_FILTER(w, x -> REGEXP_MATCHES(x, '[a-z]')))
+                     ::DOUBLE / LEN(w), 6) AS alpha_word_ratio,
+               LEN(LIST_INTERSECT(LIST_DISTINCT(w),
+                   ['the','and','of','to','a','in','is','it','that','for']))
+                 AS n_stopwords,
+               (LEN(w) >= 20
+                AND LENGTH(ARRAY_TO_STRING(w, ''))::DOUBLE / LEN(w)
+                    BETWEEN 3 AND 10
+                AND LEN(LIST_FILTER(w, x -> REGEXP_MATCHES(x, '[a-z]')))
+                    ::DOUBLE / LEN(w) >= 0.8
+                AND LEN(LIST_INTERSECT(LIST_DISTINCT(w),
+                    ['the','and','of','to','a','in','is','it','that','for']))
+                    >= 2) AS passes
+        FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    """,
+    "line_filter": f"""
+        WITH lines AS ({_SQL_WINDOWS}),
+        flagged AS (
+          SELECT doc_id, pos, line,
+                 (LEN(STRING_SPLIT(line, ' ')) >= 5
+                  AND NOT ['spark','window','javascript'] &&
+                      STRING_SPLIT(line, ' ')) AS keep
+          FROM lines
+        )
+        SELECT doc_id, COUNT(*) AS n_lines,
+               SUM(keep::INT) AS n_kept,
+               COALESCE(STRING_AGG(CASE WHEN keep THEN line END, ' '
+                                   ORDER BY pos), '') AS kept_text
+        FROM flagged GROUP BY doc_id
+    """,
+    "paragraph_dedup": f"""
+        WITH paras AS ({_SQL_WINDOWS}),
+        ranked AS (
+          SELECT doc_id, pos, line AS para,
+                 ROW_NUMBER() OVER (PARTITION BY MD5(line)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM paras
+        )
+        SELECT doc_id, COUNT(*) AS n_paras,
+               SUM((rn > 1)::INT) AS n_dup_paras,
+               COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN para END, ' '
+                                   ORDER BY pos), '') AS dedup_text
+        FROM ranked GROUP BY doc_id
+    """,
+    "heavy_hitters": f"""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT UNNEST({_SQL_WORDS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT {_TOPK_TOKENS}
+    """,
+    "source_quota_sample": f"""
+        SELECT doc_id, source, rn AS quota_rank
+        FROM (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY MD5(doc_id::VARCHAR), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= {_QUOTA_PER_SOURCE}
+    """,
+}
+
+QUERIES = {
+    "gopher_quality": gopher_quality,
+    "line_filter": line_filter,
+    "paragraph_dedup": paragraph_dedup,
+    "heavy_hitters": heavy_hitters,
+    "source_quota_sample": source_quota_sample,
+}

@@ -344,7 +344,50 @@ _IVF_PROBES = 2
 _IVF_TOPK = 10
 _IVF_K = 8        # trained cells — deliberately NOT the corpus's 10 labels
 _IVF_ITERS = 3    # fixed iteration count (determinism over convergence)
-_CENTROID_CACHE: dict[tuple, list] = {}  # the persisted quantizer table
+_CENTROID_CACHE: dict[tuple, list] = {}  # in-process memo over the table
+
+
+def clear_centroid_cache() -> None:
+    """Drop the in-process centroid memo (round-3 advice: long-lived
+    sessions that rewrite a corpus path can force re-resolution; the
+    fingerprint in the key already makes staleness impossible, this just
+    frees the entries)."""
+    _CENTROID_CACHE.clear()
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content-identity key for the embeddings table: md5 over the
+    sorted (relative path, size, mtime_ns) of every file under
+    embeddings.parquet. No data is read; rewriting the parquet changes
+    the fingerprint, so a persisted quantizer can never be served stale
+    (round-3 advice on the bare (sf_dir,k,iters) memo key)."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(("", st.st_size, st.st_mtime_ns))
+    else:
+        for (dirpath, _dirs, files) in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue  # _SUCCESS / CRC side files are not content
+                st = os.stat(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                parts.append((rel, st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(sorted(parts)).encode()).hexdigest()
+
+
+def _quantizer_root() -> str:
+    import os
+
+    return os.environ.get(
+        "SPARK_GRAFT_QUANTIZER_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "spark-warehouse", "ivf_quantizer"))
 
 
 def _ivf_assign(e: DataFrame, cent: DataFrame,
@@ -391,16 +434,35 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
     bounded driver round-trip Spark MLlib's own KMeans performs between
     iterations); assignments and medians stay distributed.
 
-    The trained table is memoized per (sf_dir, k, iters) — the
-    'train once, persist the centroid table' production pattern: every
-    subsequent query probes the persisted quantizer instead of
-    retraining. Training is deterministic, so for an immutable corpus
-    directory the memo cannot drift from the oracle; rewriting the
-    parquet under a previously-trained path within one process requires
-    clearing _CENTROID_CACHE (test fixtures always use fresh dirs)."""
-    key = (sf_dir, k, iters)
+    The trained table is PERSISTED to parquet keyed by (corpus
+    fingerprint, k, iters) — the production persisted-quantizer pattern
+    (round-3 verdict #5): a fresh driver process reads the table back
+    instead of retraining, and because the key fingerprints the parquet
+    files themselves (size + mtime), a rewritten corpus can never be
+    served a stale quantizer. An in-process memo sits over the table
+    read; training is deterministic, so neither layer can drift from
+    the oracle."""
+    import os
+
+    fp = _corpus_fingerprint(sf_dir)
+    key = (fp, k, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
+    table = os.path.join(_quantizer_root(), "%s_k%d_i%d" % (fp, k, iters))
+    if os.path.isdir(table):
+        rows = spark.read.parquet(table).collect()  # k rows, bounded
+        cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+        _CENTROID_CACHE[key] = cents
+        return cents
+    cents = _train_ivf(spark, sf_dir, k, iters)
+    (spark.createDataFrame(cents, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(table))
+    _CENTROID_CACHE[key] = cents
+    return cents
+
+
+def _train_ivf(spark: SparkSession, sf_dir: str, k: int,
+               iters: int) -> list[tuple[int, list[float]]]:
     e = _emb(spark, sf_dir)
     seeds = (e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
              .orderBy("vec_id").collect())  # k rows, bounded
@@ -430,7 +492,6 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
         new = {r["cell"]: list(r["centroid"]) for r in med}
         # a cell that lost every member keeps its previous centroid
         cents = [(c, new.get(c, prev)) for (c, prev) in cents]
-    _CENTROID_CACHE[key] = cents
     return cents
 
 

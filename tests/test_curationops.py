@@ -1,0 +1,132 @@
+"""Curation-op semantics: seeded fixtures pin the rule behavior the
+oracles can't see (the sf corpus may not exercise every branch), plus the
+count-min-sketch accuracy companion for heavy_hitters.
+"""
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _write_docs(tmp_path, texts):
+    df = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["src%d" % (i % 3) for i in range(len(texts))],
+        "n_chars": [len(t) for t in texts],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_gopher_rules_fire_individually(spark, tmp_path):
+    from pdfminer_spark.ops.curationops import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog and then it " \
+           "runs far away to find some more food for the long winter trip"
+    short = "the cat and a dog"                       # < 20 words
+    longwords = " ".join(["abcdefghijklmnop"] * 25)   # mean len > 10
+    numeric = " ".join(["12345"] * 25)                # alpha ratio 0
+    sf = _write_docs(tmp_path, [good, short, longwords, numeric])
+    rows = {r["doc_id"]: r for r in gopher_quality(spark, sf).collect()}
+    assert rows[0]["passes"] is True
+    assert rows[1]["passes"] is False and rows[1]["n_words"] < 20
+    assert rows[2]["passes"] is False and rows[2]["mean_word_len"] > 10
+    assert rows[3]["passes"] is False and rows[3]["alpha_word_ratio"] == 0.0
+
+
+def test_line_filter_drops_blocklist_and_short_tail(spark, tmp_path):
+    from pdfminer_spark.ops.curationops import line_filter
+
+    # 10-word window 0 clean, window 1 contains 'spark' (blocklisted),
+    # window 2 is a 3-word tail (< 5 words)
+    w0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    w1 = "one two three four spark six seven eight nine ten"
+    tail = "tail words here"
+    sf = _write_docs(tmp_path, [f"{w0} {w1} {tail}"])
+    (row,) = line_filter(spark, sf).collect()
+    assert row["n_lines"] == 3
+    assert row["n_kept"] == 1
+    assert row["kept_text"] == w0
+
+
+def test_paragraph_dedup_keeps_first_occurrence_corpus_wide(spark,
+                                                            tmp_path):
+    from pdfminer_spark.ops.curationops import paragraph_dedup
+
+    boiler = "all rights reserved copyright notice follows here in full text"
+    uniq_a = "first document body content words go here like this now"
+    uniq_b = "second document body content words go here like this too"
+    sf = _write_docs(tmp_path, [f"{uniq_a} {boiler}", f"{uniq_b} {boiler}"])
+    rows = {r["doc_id"]: r for r in paragraph_dedup(spark, sf).collect()}
+    # doc 0 keeps both windows; doc 1 loses the shared boilerplate window
+    assert rows[0]["n_dup_paras"] == 0
+    assert rows[0]["dedup_text"] == f"{uniq_a} {boiler}"
+    assert rows[1]["n_dup_paras"] == 1
+    assert rows[1]["dedup_text"] == uniq_b
+
+
+def test_source_quota_cap_and_determinism(spark):
+    from pdfminer_spark.ops.curationops import (_QUOTA_PER_SOURCE,
+                                                source_quota_sample)
+
+    first = source_quota_sample(spark, SF_DIR).collect()
+    per_source: dict = {}
+    for r in first:
+        per_source.setdefault(r["source"], []).append(r["doc_id"])
+        assert 1 <= r["quota_rank"] <= _QUOTA_PER_SOURCE
+    assert all(len(v) <= _QUOTA_PER_SOURCE for v in per_source.values())
+    again = source_quota_sample(spark, SF_DIR).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
+def test_heavy_hitters_count_min_companion(spark):
+    """The exact top-k is the oracle path; the single-pass approximate
+    companion is a count-min sketch built entirely from expressions
+    (d=4 md5-derived hash rows x w=64 buckets, one groupBy — the
+    100-TB-friendly shape: counter table size is d*w regardless of
+    corpus). Count-min guarantee: estimate >= true count, and <= true +
+    (e/w)*N with high probability — both asserted against the exact
+    counts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pdfminer_spark.ops.curationops import _words, heavy_hitters
+    from pdfminer_spark.ops.textops import _docs
+
+    D, W = 4, 64
+    exact = {r["token"]: r["cnt"]
+             for r in heavy_hitters(spark, SF_DIR).collect()}
+    toks = _docs(spark, SF_DIR).select(F.explode(_words()).alias("token"))
+    n_total = toks.count()
+
+    def bucket(row):
+        # row-salted md5 -> bucket in [0, W)
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit("r%d#" % row), F.col("token"))), 1, 8),
+            16, 10).cast("long") % W
+
+    counters = (toks.select(*[bucket(r).alias("b%d" % r) for r in range(D)])
+                .select(F.posexplode(F.array(
+                    *[F.col("b%d" % r) for r in range(D)]))
+                    .alias("row", "bucket"))
+                .groupBy("row", "bucket").agg(F.count("*").alias("c")))
+    table = {(r["row"], r["bucket"]): r["c"] for r in counters.collect()}
+
+    # driver-side estimate of each heavy hitter with the same hashes
+    import hashlib
+
+    def est(token):
+        vals = []
+        for r in range(D):
+            h = hashlib.md5(("r%d#" % r + token).encode()).hexdigest()
+            vals.append(table.get((r, int(h[:8], 16) % W), 0))
+        return min(vals)
+
+    bound = (math.e / W) * n_total
+    for (tok, cnt) in exact.items():
+        e = est(tok)
+        assert e >= cnt, (tok, e, cnt)
+        assert e <= cnt + bound, (tok, e, cnt, bound)
