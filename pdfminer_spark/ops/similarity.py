@@ -747,8 +747,63 @@ def _clusters_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS) -> str:
 """
 
 
+_SEMDEDUP_TAU = 0.45  # calibrated to this corpus (max pairwise cos 0.51)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str,
+                   tau: float = _SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): pair
+    comparisons happen ONLY inside each trained k-medians cell — the
+    clustering is the blocking structure that removes the O(n^2) cross
+    product — and within a cell a vector is dropped iff some smaller-id
+    vector is cosine-similar above tau (keep-first-by-id, the same
+    deterministic dominance rule as dedup_exact; the 'similar to a
+    smaller KEPT id' variant is the sequential lex-MIS, rejected for the
+    same reason documented on curate_near_dups). Emits every vector
+    with its cell and the kept verdict.
+
+    Scale: reuses the persisted quantizer; candidate volume is
+    sum(cell_size^2)/2, tunable by k — at 100 TB, cells are sharded and
+    the per-cell triangle runs as an equi-join on cell, never a global
+    product."""
+    e = _emb(spark, sf_dir)
+    cent = spark.createDataFrame(_ivf_centroids(spark, sf_dir),
+                                 "cell int, centroid array<double>")
+    assigned = _ivf_assign(e, cent)
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("emb_a"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("emb_b"), "cell")
+    cos = F.round(_dot(F.col("emb_a"), F.col("emb_b")) /
+                  (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 4)
+    drops = (a.join(b, "cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(cos >= tau)
+             .select(F.col("id_b").alias("vec_id")).distinct()
+             .withColumn("dropped", F.lit(True)))
+    return (assigned.join(drops, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.col("dropped").isNull().alias("kept")))
+
+
+def _semantic_dedup_oracle_sql(k: int = _IVF_K, iters: int = _IVF_ITERS,
+                               tau: float = _SEMDEDUP_TAU) -> str:
+    parts = _ivf_train_ctes(k, iters)
+    parts.append(_ivf_assign_sql("fassign", "cent%d" % iters))
+    parts.append("""drops AS (
+      SELECT DISTINCT b.vec_id FROM fassign a
+      JOIN fassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE %s >= %r
+    )""" % (_duck_cos("a.embedding", "b.embedding"), tau))
+    return ",\n    ".join(parts) + """
+    SELECT f.vec_id, f.cell, (d.vec_id IS NULL) AS kept
+    FROM fassign f LEFT JOIN drops d USING (vec_id)
+"""
+
+
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["embedding_clusters"] = _clusters_oracle_sql()
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 ORACLES["embedding_quantize"] = """
     WITH base AS (
@@ -784,6 +839,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_quantize": embedding_quantize,
     "embedding_clusters": embedding_clusters,
+    "semantic_dedup": semantic_dedup,
 }
 
 # the fast variant computes the same pairs as the oracle-checked slow one

@@ -153,3 +153,34 @@ def test_ivf_quantizer_persisted_across_processes(spark, tmp_path,
     sim.clear_centroid_cache()
     with pytest.raises(AssertionError, match="retrained"):
         sim._ivf_centroids(spark, str(corpus))
+
+
+def test_semantic_dedup_drops_within_cell_keep_first(spark, tmp_path):
+    """SemDeDup semantics on a seeded corpus: a planted near-identical
+    pair (cos ~ 1) must keep the smaller vec_id and drop the larger;
+    orthogonal-ish vectors all survive; verdicts are re-run stable."""
+    import numpy as np
+
+    from pdfminer_spark.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    # vec 20 := vec 12 + tiny noise -> cosine ~ 0.999, same cell
+    base[20] = base[12] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": range(30),
+        "embedding": [list(map(float, v)) for v in base],
+        "label": [i % 3 for i in range(30)],
+    })
+    df.to_parquet(tmp_path / "embeddings.parquet")
+    rows = {r["vec_id"]: r for r in
+            semantic_dedup(spark, str(tmp_path), tau=0.95).collect()}
+    assert len(rows) == 30
+    assert rows[12]["kept"] is True
+    assert rows[20]["kept"] is False
+    assert rows[12]["cell"] == rows[20]["cell"]
+    # random 16-dim gaussians stay far below tau=0.95: nothing else drops
+    assert sum(not r["kept"] for r in rows.values()) == 1
+    again = {r["vec_id"]: r["kept"] for r in
+             semantic_dedup(spark, str(tmp_path), tau=0.95).collect()}
+    assert again == {v: r["kept"] for (v, r) in rows.items()}
