@@ -50,6 +50,24 @@ AUDITS = [
      "ArrowEvalPython/mapInPandas stage after candidate dedup."),
     ("ann_cosine_topk",
      "single-row query vector broadcast; TakeOrderedAndProject top-k."),
+    ("gopher_quality",
+     "per-row quality metrics with ZERO exchanges: one pruned parquet "
+     "scan feeding pure expressions — the rule set costs a map pass at "
+     "any corpus size."),
+    ("paragraph_dedup",
+     "exactly two exchanges: one keyed on md5(paragraph) for the "
+     "keep-first window (content hash -> uniform, skew-free), one on "
+     "doc_id for the ordered reassembly; no pairwise comparisons."),
+    ("heavy_hitters",
+     "explode -> partial_count map-side combine around one exchange; "
+     "the top-50 is TakeOrderedAndProject, never a global sort."),
+    ("source_quota_sample",
+     "one exchange on source for the per-source rank window; the quota "
+     "filter applies inside the window stage."),
+    ("semantic_dedup",
+     "centroid table broadcast into the assignment; the pair search is "
+     "an equi-join keyed on cell (the SemDeDup blocking structure) — "
+     "no global cross product anywhere in the tree."),
 ]
 
 
