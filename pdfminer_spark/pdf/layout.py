@@ -434,6 +434,35 @@ class Plane:
                     continue
                 yield obj
 
+    def any_between(self, x0, y0, x1, y1, o1, o2) -> bool:
+        """Existence-only variant of find((x0,y0,x1,y1)) excluding o1/o2
+        — the group_textboxes isany predicate. Same overlap semantics as
+        find, but no dedup set and no generator: an existence scan can
+        return on the first hit, and a duplicate cell visit cannot change
+        the answer. This is the hottest call of layout analysis (one per
+        candidate merge), worth the specialized loop."""
+        if x1 <= self.x0 or self.x1 <= x0 or y1 <= self.y0 or self.y1 <= y0:
+            return False
+        cx0 = max(self.x0, x0)
+        cy0 = max(self.y0, y0)
+        cx1 = min(self.x1, x1)
+        cy1 = min(self.y1, y1)
+        g = self.gridsize
+        grid = self._grid
+        for gy in range(int(cy0) // g, int(cy1 + g) // g):
+            for gx in range(int(cx0) // g, int(cx1 + g) // g):
+                cell = grid.get((gx, gy))
+                if not cell:
+                    continue
+                for obj in cell:
+                    if obj is o1 or obj is o2:
+                        continue
+                    if obj.x1 <= x0 or x1 <= obj.x0 or \
+                            obj.y1 <= y0 or y1 <= obj.y0:
+                        continue
+                    return True
+        return False
+
 
 # -- chars -> lines (reference group_objects, layout.py:496-565) --------------
 
@@ -605,15 +634,10 @@ def group_textboxes(boxes: list, page_bbox) -> list:
     plane.extend(boxes)
 
     def isany(o1, o2):
-        # any third object inside the union bbox? (short-circuit scan)
-        x0 = min(o1.x0, o2.x0)
-        y0 = min(o1.y0, o2.y0)
-        x1 = max(o1.x1, o2.x1)
-        y1 = max(o1.y1, o2.y1)
-        for o in plane.find((x0, y0, x1, y1)):
-            if o is not o1 and o is not o2:
-                return True
-        return False
+        # any third object inside the union bbox? (existence-only scan)
+        return plane.any_between(
+            min(o1.x0, o2.x0), min(o1.y0, o2.y0),
+            max(o1.x1, o2.x1), max(o1.y1, o2.y1), o1, o2)
 
     # `heap` models the list portion sorted at the last merge (popped in
     # (c, d, seq) order — seq reproduces the stable-sort tiebreak);
