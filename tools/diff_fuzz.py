@@ -105,7 +105,8 @@ def rand_laparams(rng: random.Random) -> dict:
     return kw
 
 
-def ref_out(data: bytes, xml: bool, la_kwargs: dict | None = None):
+def ref_out(data: bytes, xml: bool, la_kwargs: dict | None = None,
+            rotation: int = 0):
     from pdfminer.converter import TextConverter, XMLConverter
     from pdfminer.layout import LAParams
     from pdfminer.pdfinterp import PDFPageInterpreter, PDFResourceManager
@@ -119,6 +120,8 @@ def ref_out(data: bytes, xml: bool, la_kwargs: dict | None = None):
     device = cls(rsrc, out, laparams=LAParams(**la_kwargs))
     interp = PDFPageInterpreter(rsrc, device)
     for page in PDFPage.get_pages(io.BytesIO(data)):
+        # the reference CLI's -R handling (tools/pdf2txt.py:110)
+        page.rotate = (page.rotate + rotation) % 360
         interp.process_page(page)
     device.close()
     return out.getvalue()
@@ -149,21 +152,23 @@ def main() -> int:
     fails = 0
     for i in range(iters):
         rot = rng.choice([0, 0, 0, 90, 180, 270])
+        # CLI -R adds on top of /Rotate — fuzz their composition too
+        extra_rot = rng.choice([0, 0, 0, 90, 180, 270])
         pdf = build(rand_content(rng), rot)
         la_kwargs = rand_laparams(rng)
         la = LAParams(**la_kwargs)
         try:
-            mt = extract_text(pdf, laparams=la)
-            mx = extract_xml(pdf, laparams=la)
+            mt = extract_text(pdf, laparams=la, rotation=extra_rot)
+            mx = extract_xml(pdf, laparams=la, rotation=extra_rot)
         except Exception as e:
             print(f"[{i}] OUR-ERROR {type(e).__name__}: {e} la={la_kwargs}")
             fails += 1
             continue
-        rt = ref_out(pdf, False, la_kwargs)
-        rx = ref_out(pdf, True, la_kwargs)
+        rt = ref_out(pdf, False, la_kwargs, rotation=extra_rot)
+        rx = ref_out(pdf, True, la_kwargs, rotation=extra_rot)
         if mt != rt or mx != rx:
             fails += 1
-            print(f"[{i}] DIVERGENCE rot={rot} la={la_kwargs}")
+            print(f"[{i}] DIVERGENCE rot={rot}+R{extra_rot} la={la_kwargs}")
             for (a, b, tag) in ((mt, rt, "text"), (mx, rx, "xml")):
                 if a != b:
                     for j in range(min(len(a), len(b))):
