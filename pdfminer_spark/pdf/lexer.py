@@ -38,6 +38,9 @@ _FAST = re.compile(
     rb"|(?P<i>[+-]?[0-9]+)(?![0-9.])"
     rb"|/(?P<n>[^#/%\[\]()<>{}\s]*)(?=[/%\[\]()<>{}\s]|\Z)"
     rb"|(?P<k>[A-Za-z][^#/%\[\]()<>{}\s]*)"
+    # well-formed hex string; '<<' cannot match ('>' required) and falls
+    # through to the slow path's dict-begin rule
+    rb"|<(?P<h>[0-9a-fA-F \t\n\r\f\v]*)>"
     rb")")
 _END_LITERAL = re.compile(rb"[#/%\[\]()<>{}\s]")
 _END_NUMBER = re.compile(rb"[^0-9]")
@@ -47,6 +50,16 @@ _END_STRING = re.compile(rb"[()\\]")
 _OCTAL = re.compile(rb"[0-7]{1,3}")
 _HEXDIG = re.compile(rb"[0-9a-fA-F]{1,2}")
 _WS_IN_HEX = re.compile(rb"\s")
+
+
+def _hexbytes(digits: bytes) -> bytes:
+    """Hex digits -> bytes; an odd trailing digit keeps its LOW-nibble
+    value (reference nibble-accumulator behavior, psparser.py hex scan)."""
+    from binascii import unhexlify
+
+    if len(digits) % 2:
+        return unhexlify(digits[:-1]) + bytes((int(digits[-1:], 16),))
+    return unhexlify(digits)
 
 _STR_ESC = {
     0x62: b"\x08",  # \b
@@ -120,11 +133,14 @@ class Lexer:
                     text = ""
                 return (m.start("n") - 1, Name(text))
             g = m.group("k")
-            if g == b"true":
-                return (m.start("k"), True)
-            if g == b"false":
-                return (m.start("k"), False)
-            return (m.start("k"), KW(g))
+            if g is not None:
+                if g == b"true":
+                    return (m.start("k"), True)
+                if g == b"false":
+                    return (m.start("k"), False)
+                return (m.start("k"), KW(g))
+            g = m.group("h")
+            return (m.start("h") - 1, _hexbytes(_WS_IN_HEX.sub(b"", g)))
         while True:
             m = _NONSPC.search(buf, i)
             if m is None:
@@ -289,14 +305,7 @@ class Lexer:
         end = len(buf) if m is None else m.start()
         self.pos = end  # terminator '>' is consumed by next_token's '>' rule
         digits = _WS_IN_HEX.sub(b"", buf[start + 1 : end])
-        out = bytearray()
-        k = 0
-        while k + 1 < len(digits):
-            out.append(int(digits[k : k + 2], 16))
-            k += 2
-        if k < len(digits):  # odd trailing digit keeps its low-nibble value
-            out.append(int(digits[k : k + 1], 16))
-        return (start, bytes(out))
+        return (start, _hexbytes(digits))
 
     # -- reverse scan (trailer discovery) ------------------------------------
     def reverse_lines(self):
