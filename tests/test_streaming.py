@@ -110,3 +110,53 @@ def test_conversation_progress_stateful(spark, tmp_path):
             latest.get(r["conv_id"], (0, 0)), (r["n_turns"], r["n_bytes"]))
     assert latest["c1"] == (3, 11)  # 4 + 2 + 5 bytes over two batches
     assert latest["c2"] == (1, 3)
+
+
+def test_turn_rate_watermarked_window_drops_late(spark, tmp_path):
+    """Watermarked event-time aggregation: a window finalizes (and emits,
+    append mode) only once the watermark passes it, and a row arriving
+    after that is DROPPED — state stays bounded at 10^12-turn scale
+    because closed windows never reopen."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_spark.spark.streaming import turn_rate_query
+
+    (tmp_path / "in").mkdir()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(ts_list, conv="conv-a"):
+        return pd.DataFrame({
+            "conv_id": [conv] * len(ts_list),
+            "turn_idx": list(range(len(ts_list))),
+            "role": ["user"] * len(ts_list),
+            "text": ["t"] * len(ts_list),
+            "tool": [""] * len(ts_list),
+            "ts": pd.Series([dt.datetime(2026, 1, 1) + t for t in ts_list]
+                            ).astype("datetime64[us]"),
+        })
+
+    m = dt.timedelta
+    # batch 1: three turns in the 10:00-10:10 window, then one at 12:00
+    # that pushes the watermark (30 min) past that window's end
+    rows([m(hours=10, minutes=1), m(hours=10, minutes=4),
+          m(hours=10, minutes=8), m(hours=12)]).to_parquet(
+        f"{in_dir}/b1.parquet")
+    q = turn_rate_query(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    # batch 2: a LATE row for the closed 10:00 window + a fresh 12:05 row
+    rows([m(hours=10, minutes=5), m(hours=12, minutes=5)],
+         conv="conv-a").to_parquet(f"{in_dir}/b2.parquet")
+    q = turn_rate_query(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir).collect()
+    by_window = {(r["window_start"].hour, r["conv_id"]): r["n_turns"]
+                 for r in out}
+    # the 10:00 window emitted exactly once with the ON-TIME count (3);
+    # the late 10:05 row was dropped, the 12:00 window is still open
+    assert by_window == {(10, "conv-a"): 3}
