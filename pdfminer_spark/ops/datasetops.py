@@ -278,6 +278,59 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination with SPAN REMOVAL: where contamination_check
+    only flags documents, this strips the offending text — every token
+    covered by a word-8-gram that also appears in the held-out eval set
+    (doc_id %% 100 == 7) is removed, and the document is reassembled from
+    the surviving tokens in order. The published decontamination recipe
+    for training corpora (flag -> excise, not flag -> drop the doc).
+
+    Scale shape: grams travel as md5 digests; the eval gram set is
+    broadcast-sized by construction; removal positions come from one
+    join + one sequence explode (8 rows per hit), and reassembly is one
+    ordered groupBy per doc. Never a text comparison, never O(n^2)."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    base = d.select("doc_id", words.alias("w"))
+    is_bench = F.col("doc_id") % 100 == 7
+    gram_list = F.when(
+        F.size("w") >= _CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1)),
+            lambda i: F.md5(F.array_join(F.slice("w", i, _CONTAM_N), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = (base.where(is_bench)
+             .select(F.explode(gram_list).alias("gram")).distinct())
+    tgrams = (base.where(~is_bench)
+              .select("doc_id", F.posexplode(gram_list)
+                      .alias("gi0", "gram")))
+    hits = tgrams.join(F.broadcast(bench), "gram").select("doc_id", "gi0")
+    pos = (hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("gi0"),
+                             F.col("gi0") + (_CONTAM_N - 1))).alias("p"))
+        .distinct())
+    toks = (base.where(~is_bench)
+            .select("doc_id", F.posexplode("w").alias("p", "tok")))
+    kept = (toks.join(pos, ["doc_id", "p"], "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                         lambda s: s["tok"]), " ").alias("clean_text")))
+    return (base.where(~is_bench)
+            .select("doc_id", F.size("w").alias("n_tokens"))
+            .join(kept, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
 ORACLES: dict[str, str] = {
     "contamination_check": """
         WITH grams AS (
@@ -352,6 +405,53 @@ ORACLES: dict[str, str] = {
         FROM idx
     """.format(stride=_CHUNK_STRIDE, size=_CHUNK_TOKENS),
 }
+
+ORACLES["decontaminate_spans"] = """
+    WITH base AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT UNNEST(
+        CASE WHEN LEN(w) >= 8
+          THEN [MD5(ARRAY_TO_STRING(w[i : i + 7], ' '))
+                FOR i IN RANGE(1, LEN(w) - 6)]
+          ELSE [] END) AS gram
+      FROM base WHERE doc_id % 100 = 7
+    ), tg AS (
+      SELECT doc_id, UNNEST(
+        CASE WHEN LEN(w) >= 8
+          THEN [{'gi': i - 1,
+                 'g': MD5(ARRAY_TO_STRING(w[i : i + 7], ' '))}
+                FOR i IN RANGE(1, LEN(w) - 6)]
+          ELSE [] END) AS u
+      FROM base WHERE doc_id % 100 <> 7
+    ), hits AS (
+      SELECT DISTINCT t.doc_id, t.u.gi AS gi0
+      FROM tg t JOIN bench b ON t.u.g = b.gram
+    ), pos AS (
+      SELECT DISTINCT doc_id, UNNEST(RANGE(gi0, gi0 + 8)) AS p
+      FROM hits
+    ), toks AS (
+      SELECT doc_id, UNNEST([{'p': i - 1, 'tok': w[i]}
+                             FOR i IN RANGE(1, LEN(w) + 1)]) AS u
+      FROM base WHERE doc_id % 100 <> 7
+    ), kept AS (
+      SELECT t.doc_id, t.u.p AS p, t.u.tok AS tok
+      FROM toks t LEFT JOIN pos ON t.doc_id = pos.doc_id AND t.u.p = pos.p
+      WHERE pos.p IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, LEN(b.w) AS n_tokens,
+           LEN(b.w) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    WHERE b.doc_id % 100 <> 7
+"""
 
 ORACLES["temperature_sample"] = """
     WITH grouped AS (
@@ -429,4 +529,5 @@ QUERIES = {
     "normalize_text": normalize_text,
     "pack_sequences": pack_sequences,
     "temperature_sample": temperature_sample,
+    "decontaminate_spans": decontaminate_spans,
 }

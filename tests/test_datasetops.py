@@ -142,3 +142,28 @@ def test_pack_sequences_bin_boundaries(spark, tmp_path):
     assert got[("s1", 0)] == (2, 520)   # docs 0 and 1
     assert got[("s1", 1)] == (1, 10)    # doc 2 starts past the boundary
     assert got[("s2", 0)] == (1, 600)   # shards pack independently
+
+
+def test_decontaminate_spans_excises_only_covered_tokens(spark, tmp_path):
+    from pdfminer_spark.ops.datasetops import decontaminate_spans
+
+    bench_text = "the quick brown fox jumps over the lazy dog"  # 9 words
+    clean = " ".join("clean%d" % i for i in range(30))
+    rows = [
+        (7, bench_text),                                      # eval doc
+        (1, "prefix words here " + bench_text + " tail words here now"),
+        (2, clean),                                           # untouched
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in
+           decontaminate_spans(spark, str(tmp_path)).collect()}
+    assert 7 not in out  # eval docs are not training rows
+    # doc 2 untouched
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == clean
+    # doc 1: the 9 bench tokens form 2 shared 8-grams covering exactly
+    # those 9 positions; prefix and tail tokens survive in order
+    r = out[1]
+    assert r["n_tokens"] == 16
+    assert r["n_removed"] == 9
+    assert r["clean_text"] == "prefix words here tail words here now"
