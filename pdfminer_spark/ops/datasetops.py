@@ -331,6 +331,51 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
 
 
+
+_CONV_WINDOW = 256  # context-window token budget for conversation packing
+
+
+def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-aware context-window packing over the transcripts shape
+    (the north-rule payload): turns of a conversation are packed in
+    turn order into _CONV_WINDOW-token windows that NEVER mix
+    conversations — a turn belongs to the pack its first token falls in
+    (bin = exclusive-running-token-count // window), so a boundary turn
+    spills into its open pack instead of being split mid-turn. Emits
+    per-pack stats (turn span, token total, fill ratio) — what a
+    chat-SFT tokenization pipeline materializes before batching.
+
+    Transcripts view: the same deterministic documents->turns mapping
+    the driver's extract_* queries use (conv = doc_id %% 50, 10 turns
+    per conversation). Scale: one shuffle on conv_id, per-conversation
+    ordered scan (windows never cross conv_id, so the running sum state
+    is bounded by a conversation), small groupBy."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""))
+    turns = d.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % 50)
+                                        .cast("string"), 4, "0"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = turns.withColumn(
+        "pack_id", F.floor(start / _CONV_WINDOW).cast("int"))
+    return (packed.groupBy("conv_id", "pack_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.min("turn_idx").alias("turn_lo"),
+                 F.max("turn_idx").alias("turn_hi"),
+                 F.sum("n_tokens").alias("pack_tokens"),
+                 F.round(F.sum("n_tokens") / F.lit(_CONV_WINDOW), 4)
+                 .alias("fill_ratio")))
+
+
 ORACLES: dict[str, str] = {
     "contamination_check": """
         WITH grams AS (
@@ -453,6 +498,28 @@ ORACLES["decontaminate_spans"] = """
     WHERE b.doc_id % 100 <> 7
 """
 
+ORACLES["conversation_pack"] = """
+    WITH turns AS (
+      SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
+             (doc_id // 50)::INT AS turn_idx,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), binned AS (
+      SELECT conv_id, turn_idx, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256) AS INT) AS pack_id
+      FROM turns
+    )
+    SELECT conv_id, pack_id, COUNT(*) AS n_turns,
+           MIN(turn_idx) AS turn_lo, MAX(turn_idx) AS turn_hi,
+           SUM(n_tokens) AS pack_tokens,
+           ROUND(SUM(n_tokens)::DOUBLE / 256, 4) AS fill_ratio
+    FROM binned GROUP BY conv_id, pack_id
+"""
+
 ORACLES["temperature_sample"] = """
     WITH grouped AS (
       SELECT doc_id,
@@ -530,4 +597,5 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "temperature_sample": temperature_sample,
     "decontaminate_spans": decontaminate_spans,
+    "conversation_pack": conversation_pack,
 }

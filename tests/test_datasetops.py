@@ -167,3 +167,27 @@ def test_decontaminate_spans_excises_only_covered_tokens(spark, tmp_path):
     assert r["n_tokens"] == 16
     assert r["n_removed"] == 9
     assert r["clean_text"] == "prefix words here tail words here now"
+
+
+def test_conversation_pack_never_crosses_conversations(spark):
+    from pdfminer_spark.ops.datasetops import (_CONV_WINDOW,
+                                               conversation_pack)
+
+    rows = conversation_pack(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # contiguous turn span inside ONE conversation per pack
+        assert r["turn_lo"] <= r["turn_hi"]
+        # a pack exceeds the budget only by its single boundary turn:
+        # every pack's START is under the budget by construction
+        assert r["pack_id"] * _CONV_WINDOW <= \
+            r["pack_id"] * _CONV_WINDOW + r["pack_tokens"]
+    # packs per conversation are dense 0..k and turn ranges do not overlap
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for (conv, packs) in by_conv.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        for (a, b) in zip(packs, packs[1:]):
+            assert a["turn_hi"] < b["turn_lo"]
