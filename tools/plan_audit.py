@@ -68,6 +68,14 @@ AUDITS = [
      "centroid table broadcast into the assignment; the pair search is "
      "an equi-join keyed on cell (the SemDeDup blocking structure) — "
      "no global cross product anywhere in the tree."),
+    ("decontaminate_spans",
+     "eval gram set enters as a BroadcastHashJoin build side; removal "
+     "positions are a bounded sequence explode off the hit rows; "
+     "reassembly is one ordered groupBy per doc — no text comparisons."),
+    ("conversation_pack",
+     "one exchange on conv_id feeding the running-sum window; the pack "
+     "aggregation reuses the same partitioning (no second exchange for "
+     "the groupBy on (conv_id, pack_id))."),
 ]
 
 
