@@ -163,6 +163,75 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", F.col("rn").alias("quota_rank")))
 
 
+
+# -- pipeline QA compositions ------------------------------------------------------
+# A curation stack measures its own approximations: these compose existing
+# oracled operators into the QA reports that watch them.
+
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded-MinHash candidate generator against
+    the exact n-gram-Jaccard truth at J >= 0.8 (the dedup threshold):
+    one row with the true near-dup pair count, how many the banding
+    recovered, and the recall — the number every LSH deployment pins as
+    regression telemetry (CAPACITY.md carries rates; this carries
+    recall).
+
+    Scale: both inputs are bucketed pair generators (never all-pairs);
+    the comparison itself is a pair-key join + one global aggregate."""
+    from .textops import dedup_minhash_pairs, ngram_jaccard_pairs
+
+    truth = (ngram_jaccard_pairs(spark, sf_dir)
+             .where(F.col("jaccard") >= 0.8).select("id_a", "id_b"))
+    found = (dedup_minhash_pairs(spark, sf_dir)
+             .select("id_a", "id_b").withColumn("hit", F.lit(1)))
+    return (truth.join(found, ["id_a", "id_b"], "left")
+            .agg(F.count("*").alias("n_true"),
+                 F.sum(F.coalesce("hit", F.lit(0))).alias("n_recovered"))
+            .select("n_true", "n_recovered",
+                    F.round(F.col("n_recovered") /
+                            F.greatest(F.col("n_true"), F.lit(1)), 4)
+                    .alias("recall")))
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic's prediction vs the
+    corpus's true lang column, one row per (true, predicted) cell with
+    its count — the accuracy dashboard for the lang_id gate.
+
+    Scale: one equi-join on doc_id + one groupBy over a tiny key space."""
+    from .textops import lang_id
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    return (d.join(pred, "doc_id")
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n")))
+
+
+def _qa_oracles() -> dict:
+    from .textops import ORACLES as _T
+
+    return {
+        "minhash_recall_report": """
+            SELECT COUNT(*) AS n_true,
+                   SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_recovered,
+                   ROUND(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0
+                             END)::DOUBLE
+                         / GREATEST(COUNT(*), 1), 4) AS recall
+            FROM (SELECT id_a, id_b FROM (%s) WHERE jaccard >= 0.8) t
+            LEFT JOIN (SELECT id_a, id_b FROM (%s)) f
+              USING (id_a, id_b)
+        """ % (_T["ngram_jaccard_pairs"], _T["dedup_minhash_pairs"]),
+        "lang_confusion": """
+            SELECT d.lang, p.lang_pred, COUNT(*) AS n
+            FROM documents d
+            JOIN (SELECT doc_id, lang_pred FROM (%s)) p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+        """ % _T["lang_id"],
+    }
+
+
 _SQL_WORDS = ("LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), "
               "'[^a-z0-9'']+'), x -> x <> '')")
 
@@ -242,10 +311,14 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES.update(_qa_oracles())
+
 QUERIES = {
     "gopher_quality": gopher_quality,
     "line_filter": line_filter,
     "paragraph_dedup": paragraph_dedup,
     "heavy_hitters": heavy_hitters,
     "source_quota_sample": source_quota_sample,
+    "minhash_recall_report": minhash_recall_report,
+    "lang_confusion": lang_confusion,
 }
