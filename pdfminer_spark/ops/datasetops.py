@@ -376,6 +376,66 @@ def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("fill_ratio")))
 
 
+
+_SPLIT_PCT = (95, 4, 1)  # train / val / test
+
+
+def holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (95/4/1) by md5 ticket:
+    split membership is a pure function of doc_id, so it is identical on
+    every cluster size, every re-run, and every snapshot append — the
+    property that makes eval sets trustworthy (a random() split silently
+    reshuffles membership between runs). Emits per-doc assignment plus
+    the ticket for auditability.
+
+    Scale: one scan, zero shuffles (the split is a projection)."""
+    d = _docs(spark, sf_dir)
+    ticket = _hex2long(F.md5(F.concat(F.lit("split#"),
+                                      F.col("doc_id").cast("string"))),
+                       1) % 100
+    split = (F.when(ticket < _SPLIT_PCT[0], "train")
+             .when(ticket < _SPLIT_PCT[0] + _SPLIT_PCT[1], "val")
+             .otherwise("test"))
+    return d.select("doc_id", ticket.cast("int").alias("ticket"),
+                    split.alias("split"))
+
+
+def turn_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role accounting over the transcripts shape:
+    turn counts by role (user/assistant/tool via turn_idx %% 3, the
+    deterministic role rule of the documents->turns view), total tokens,
+    and the tool-turn ratio — the conversation-mix dashboard an SFT
+    pipeline watches before sampling.
+
+    Scale: one groupBy(conv_id) with map-side partial aggregation."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""))
+    turns = d.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % 50)
+                                        .cast("string"), 4, "0"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "role",
+        F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                             F.lit("tool")),
+                     (F.col("turn_idx") % 3 + 1).cast("int")))
+    return (turns.groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+                 .alias("n_user"),
+                 F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+                 .alias("n_assistant"),
+                 F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+                 .alias("n_tool"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.sum(F.when(F.col("role") == "tool", 1)
+                               .otherwise(0)) / F.count("*"), 4)
+                 .alias("tool_ratio")))
+
+
 ORACLES: dict[str, str] = {
     "contamination_check": """
         WITH grams AS (
@@ -520,6 +580,40 @@ ORACLES["conversation_pack"] = """
     FROM binned GROUP BY conv_id, pack_id
 """
 
+ORACLES["holdout_split"] = """
+    SELECT doc_id,
+           CAST(t AS INT) AS ticket,
+           CASE WHEN t < 95 THEN 'train'
+                WHEN t < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 %s %% 100 AS t
+          FROM documents)
+""" % _hex2int_sql("MD5('split#' || doc_id::VARCHAR)", 1)
+
+ORACLES["turn_role_stats"] = """
+    WITH turns AS (
+      SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
+             (doc_id // 50)::INT AS turn_idx,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT conv_id, turn_idx, n_tokens,
+             ['user', 'assistant', 'tool'][(turn_idx % 3) + 1] AS role
+      FROM turns
+    )
+    SELECT conv_id, COUNT(*) AS n_turns,
+           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+             AS n_assistant,
+           SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS tool_ratio
+    FROM r GROUP BY conv_id
+"""
+
 ORACLES["temperature_sample"] = """
     WITH grouped AS (
       SELECT doc_id,
@@ -598,4 +692,6 @@ QUERIES = {
     "temperature_sample": temperature_sample,
     "decontaminate_spans": decontaminate_spans,
     "conversation_pack": conversation_pack,
+    "holdout_split": holdout_split,
+    "turn_role_stats": turn_role_stats,
 }

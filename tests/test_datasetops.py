@@ -191,3 +191,30 @@ def test_conversation_pack_never_crosses_conversations(spark):
         assert [p["pack_id"] for p in packs] == list(range(len(packs)))
         for (a, b) in zip(packs, packs[1:]):
             assert a["turn_hi"] < b["turn_lo"]
+
+
+def test_holdout_split_deterministic_and_proportioned(spark):
+    from pdfminer_spark.ops.datasetops import holdout_split
+
+    first = holdout_split(spark, SF_DIR).collect()
+    counts: dict = {}
+    for r in first:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert 0 <= r["ticket"] < 100
+    n = sum(counts.values())
+    # 95/4/1 within hash-sampling tolerance at n=500
+    assert counts["train"] / n > 0.88
+    assert 0 < counts.get("val", 0) < 0.12 * n
+    assert counts.get("test", 0) < 0.06 * n
+    again = holdout_split(spark, SF_DIR).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
+def test_turn_role_stats_roles_partition_turns(spark):
+    from pdfminer_spark.ops.datasetops import turn_role_stats
+
+    rows = turn_role_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_user"] + r["n_assistant"] + r["n_tool"] == r["n_turns"]
+        assert abs(r["tool_ratio"] - r["n_tool"] / r["n_turns"]) < 1e-3
