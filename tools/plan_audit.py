@@ -76,6 +76,15 @@ AUDITS = [
      "one exchange on conv_id feeding the running-sum window; the pack "
      "aggregation reuses the same partitioning (no second exchange for "
      "the groupBy on (conv_id, pack_id))."),
+    ("holdout_split",
+     "the split is a PURE PROJECTION off the scan — zero exchanges; "
+     "membership is a function of doc_id alone, so any executor count "
+     "produces the identical assignment."),
+    ("minhash_recall_report",
+     "both pair generators keep their bucketed shapes (band join on one "
+     "side, adjacent-bucket equi-join on the other); the recall compare "
+     "is a pair-key join + one global aggregate — no all-pairs stage "
+     "appears anywhere in the tree."),
 ]
 
 
