@@ -58,3 +58,51 @@ def test_assembly_segment_cap_semantics(spark):
     one_shot = {r["conv_id"]: r["doc_text"] for r in
                 assemble_conversations(df, segment_size=1 << 30).collect()}
     assert {k: v["doc_text"] for (k, v) in out.items()} == one_shot
+
+
+def test_aqe_splits_skewed_shuffle_join(spark):
+    """The other half of the skew story: for JOINS (no UDF fan-out), AQE
+    is the designated defense — a sort-merge join against a key holding
+    ~90% of one side must come out of adaptive planning with its skewed
+    partition split (SortMergeJoin(skew=true) + AQEShuffleRead skewed),
+    not one straggler task. Thresholds are forced low because the
+    fixture is tiny; at 100 TB the defaults (256 MB medians) trigger
+    the same rewrite.
+
+    Two traps this test had to dodge: the payload must be incompressible
+    AND consumed by the aggregate (count(*) lets column pruning drop it,
+    and lz4 collapses a repeated pad below the skew threshold), and the
+    aggregate must sit ON TOP of the join in the SAME dataframe (a
+    separate .count() finalizes a different query execution, leaving
+    this plan isFinalPlan=false)."""
+    left = spark.range(0, 200000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id) END AS k",
+        "sha2(cast(id as string), 256) AS v")
+    right = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 50 = 0 THEN 'hot' ELSE concat('k', id) END AS k",
+        "id AS w")
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for (k, v) in conf.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k").agg(F.sum(F.length("v")).alias("n"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for (k, v) in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
