@@ -17,6 +17,17 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "pdfminer-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
               arrow_batch: int = 64) -> SparkSession:
+    # python WORKERS resolve imports via PYTHONPATH, not the driver's
+    # sys.path — a harness launching from any other cwd would otherwise
+    # fail to unpickle the mapInPandas UDFs (worker: "No module named
+    # 'pdfminer_spark'"). Must happen before the JVM/context starts;
+    # cluster deployments ship the package via --py-files instead.
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    parts = os.environ.get("PYTHONPATH", "")
+    if repo not in parts.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (repo + os.pathsep + parts) if parts \
+            else repo
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
