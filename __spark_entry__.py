@@ -97,19 +97,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     multimodal, relational, similarity,
                                     sketches, temporal, textops)
 
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    q.update(curationops.QUERIES)
-    q.update(relational.QUERIES)
-    q.update(temporal.QUERIES)
-    q.update(sketches.QUERIES)
-    q.update(textops.QUERIES)
-    q.update(similarity.QUERIES)
-    q.update(multimodal.QUERIES)
-    q.update(layoutops.QUERIES)
-    q.update(datasetops.QUERIES)
-    q["extract_documents"] = extract_documents
-    q["extract_conversations"] = extract_conversations
-    q["curate_documents"] = curate_documents
+    q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q_all.update(curationops.QUERIES)
+    q_all.update(relational.QUERIES)
+    q_all.update(temporal.QUERIES)
+    q_all.update(sketches.QUERIES)
+    q_all.update(textops.QUERIES)
+    q_all.update(similarity.QUERIES)
+    q_all.update(multimodal.QUERIES)
+    q_all.update(layoutops.QUERIES)
+    q_all.update(datasetops.QUERIES)
+    q_all["extract_documents"] = extract_documents
+    q_all["extract_conversations"] = extract_conversations
+    q_all["curate_documents"] = curate_documents
+    # The driver samples at most 50 queries, in registration order. Lead
+    # with (a) the 17 ops that had never received a driver CORRECTNESS
+    # row through r4 and (b) the 3 r4 hash-mismatch rows whose oracle
+    # dtype bug was fixed in r5, so this round's sample covers exactly
+    # the least-proven claims (r4 verdict items #1 and #3).
+    priority = [
+        "extract_documents", "extract_conversations", "curate_documents",
+        "layout_boxes", "media_resize", "media_frame_sample",
+        "pii_scrub", "contamination_check", "stratified_sample",
+        "pack_chunks", "normalize_text", "pack_sequences",
+        "temperature_sample", "decontaminate_spans", "conversation_pack",
+        "holdout_split", "turn_role_stats",
+        "line_filter", "paragraph_dedup", "minhash_recall_report",
+    ]
+    q = {name: q_all[name] for name in priority if name in q_all}
+    q.update(q_all)
     return q
 
 

@@ -37,7 +37,13 @@ def _windows(words):
     """array<array<string>>: consecutive _WIN-word slices (last may be
     short)."""
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.floor((n - 1) / _WIN).cast("int"))
+    # guard n == 0: Spark's sequence(0, -1) auto-steps DOWN and would
+    # yield [0, -1] (two phantom empty windows), while the DuckDB
+    # oracle's RANGE(0, 0) emits none (ADVICE r4)
+    idx = F.when(
+        n >= 1,
+        F.sequence(F.lit(0), F.floor((n - 1) / _WIN).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.slice(words, i * _WIN + 1, _WIN))
 
 
@@ -65,7 +71,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ratio.alias("alpha_word_ratio"),
         stop_hits.alias("n_stopwords"),
         passes.cast("boolean").alias("passes"),
-    )
+    ).where(F.col("n_words") >= 1)  # zero-word doc: ratios undefined (ADVICE r4)
 
 
 def line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +221,7 @@ def _qa_oracles() -> dict:
         "minhash_recall_report": """
             SELECT COUNT(*) AS n_true,
                    SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END)
-                     AS n_recovered,
+                     ::BIGINT AS n_recovered,
                    ROUND(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0
                              END)::DOUBLE
                          / GREATEST(COUNT(*), 1), 4) AS recall
@@ -241,6 +247,7 @@ _SQL_WINDOWS = f"""
                                  ' ') AS line
           FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
                UNNEST(RANGE(0, ((LEN(w) - 1) // {_WIN}) + 1)) AS t(i)
+          WHERE LEN(w) >= 1
 """
 
 ORACLES: dict[str, str] = {
@@ -263,6 +270,7 @@ ORACLES: dict[str, str] = {
                     ['the','and','of','to','a','in','is','it','that','for']))
                     >= 2) AS passes
         FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+        WHERE LEN(w) >= 1
     """,
     "line_filter": f"""
         WITH lines AS ({_SQL_WINDOWS}),
@@ -274,7 +282,7 @@ ORACLES: dict[str, str] = {
           FROM lines
         )
         SELECT doc_id, COUNT(*) AS n_lines,
-               SUM(keep::INT) AS n_kept,
+               SUM(keep::INT)::BIGINT AS n_kept,
                COALESCE(STRING_AGG(CASE WHEN keep THEN line END, ' '
                                    ORDER BY pos), '') AS kept_text
         FROM flagged GROUP BY doc_id
@@ -288,7 +296,7 @@ ORACLES: dict[str, str] = {
           FROM paras
         )
         SELECT doc_id, COUNT(*) AS n_paras,
-               SUM((rn > 1)::INT) AS n_dup_paras,
+               SUM((rn > 1)::INT)::BIGINT AS n_dup_paras,
                COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN para END, ' '
                                    ORDER BY pos), '') AS dedup_text
         FROM ranked GROUP BY doc_id

@@ -575,7 +575,7 @@ ORACLES["conversation_pack"] = """
     )
     SELECT conv_id, pack_id, COUNT(*) AS n_turns,
            MIN(turn_idx) AS turn_lo, MAX(turn_idx) AS turn_hi,
-           SUM(n_tokens) AS pack_tokens,
+           SUM(n_tokens)::BIGINT AS pack_tokens,
            ROUND(SUM(n_tokens)::DOUBLE / 256, 4) AS fill_ratio
     FROM binned GROUP BY conv_id, pack_id
 """
@@ -604,11 +604,13 @@ ORACLES["turn_role_stats"] = """
       FROM turns
     )
     SELECT conv_id, COUNT(*) AS n_turns,
-           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+             AS n_user,
+           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
              AS n_assistant,
-           SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
-           SUM(n_tokens) AS total_tokens,
+           SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT
+             AS n_tool,
+           SUM(n_tokens)::BIGINT AS total_tokens,
            ROUND(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::DOUBLE
                  / COUNT(*), 4) AS tool_ratio
     FROM r GROUP BY conv_id
@@ -654,7 +656,7 @@ ORACLES["pack_sequences"] = """
       FROM toks
     )
     SELECT source, bin_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           SUM(n_tokens)::BIGINT AS bin_tokens,
            ROUND(SUM(n_tokens)::DOUBLE / %(w)d, 4) AS fill_ratio
     FROM binned GROUP BY source, bin_id
 """ % {"w": _SEQ_WINDOW}

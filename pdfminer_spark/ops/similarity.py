@@ -448,8 +448,12 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
     key = (fp, k, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    table = os.path.join(_quantizer_root(), "%s_k%d_i%d" % (fp, k, iters))
-    if os.path.isdir(table):
+    root = _quantizer_root()
+    table = os.path.join(root, "%s_k%d_i%d" % (fp, k, iters))
+    # gate on the commit marker, not the directory: Spark creates the
+    # directory before the write commits, so isdir() could serve a
+    # partial table from a crashed/concurrent writer (ADVICE r4)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
         rows = spark.read.parquet(table).collect()  # k rows, bounded
         cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
         _CENTROID_CACHE[key] = cents
@@ -458,6 +462,18 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
     (spark.createDataFrame(cents, "cell int, centroid array<double>")
      .coalesce(1).write.mode("overwrite").parquet(table))
     _CENTROID_CACHE[key] = cents
+    # prune uncommitted (no _SUCCESS) sibling dirs — crashed-writer
+    # leftovers; committed quantizers for other corpora/SF dirs stay
+    # live for cross-process reuse (ADVICE r4)
+    try:
+        import shutil
+        for d in os.listdir(root):
+            path = os.path.join(root, d)
+            if (path != table and os.path.isdir(path)
+                    and not os.path.exists(os.path.join(path, "_SUCCESS"))):
+                shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass
     return cents
 
 

@@ -150,13 +150,16 @@ def dumpoutline(out, data: bytes, password: bytes = b"") -> None:
     out.write("<outlines>\n")
     for (level, title, dest, action) in items:
         pageno = None
-        if dest is not None:
+        # truthiness, as the reference tests it (tools/dumppdf.py:141,144):
+        # an EMPTY dest (empty array/string) falls through to the
+        # GoTo-action branch instead of emitting an empty <dest> (ADVICE r4)
+        if dest:
             try:
                 dest = resolve_dest(dest)
             except KeyError:
                 dest = None
             pageno = page_of(dest)
-        elif action is not None:
+        elif action:
             action = resolve1(action)
             if isinstance(action, dict) and \
                     str(resolve1(action.get("S"))) == "GoTo" and \

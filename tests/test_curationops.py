@@ -170,3 +170,29 @@ def test_lang_confusion_diagonal_on_seeded_corpus(spark, tmp_path):
              for r in lang_confusion(spark, str(tmp_path)).collect()}
     assert cells == {("en", "en"): 1, ("de", "de"): 1, ("fr", "fr"): 1,
                      ("es", "es"): 1, ("zh", "cjk"): 1}
+
+
+def test_empty_doc_produces_no_phantom_windows(spark, tmp_path):
+    """ADVICE r4: Spark's sequence(0, -1) auto-steps DOWN, so an
+    unguarded window index gave an empty-text doc two phantom empty
+    lines (n_lines=2) while the DuckDB oracle's RANGE(0,0) emitted
+    none. Guarded: empty/whitespace docs are absent from all three
+    window/ratio operators, matching the oracle."""
+    import duckdb
+
+    from pdfminer_spark.ops.curationops import (ORACLES, gopher_quality,
+                                                line_filter,
+                                                paragraph_dedup)
+
+    w0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sf = _write_docs(tmp_path, ["", "   ", w0])
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for fn, name in [(line_filter, "line_filter"),
+                     (paragraph_dedup, "paragraph_dedup"),
+                     (gopher_quality, "gopher_quality")]:
+        got = {r["doc_id"] for r in fn(spark, sf).collect()}
+        want = {r[0] for r in con.execute(
+            f"SELECT doc_id FROM ({ORACLES[name]})").fetchall()}
+        assert got == want == {2}, (name, got, want)

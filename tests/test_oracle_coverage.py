@@ -36,3 +36,55 @@ def test_oracle_check_tool_covers_all_queries():
     oracles = entry.oracle_sql()
     default_names = [n for n in qs if n in oracles]
     assert sorted(default_names) == sorted(qs)
+
+
+def test_queries_lead_with_never_driver_sampled_ops():
+    """r4 verdict #3: the driver checks at most 50 queries in
+    registration order; the 17 never-sampled ops plus the 3 r4
+    hash-mismatch queries must come first so round 5's sample covers
+    the least-proven claims. Guard the ordering (and that no priority
+    name is a typo that silently drops out of the dict comprehension)."""
+    expected_head = [
+        "extract_documents", "extract_conversations", "curate_documents",
+        "layout_boxes", "media_resize", "media_frame_sample",
+        "pii_scrub", "contamination_check", "stratified_sample",
+        "pack_chunks", "normalize_text", "pack_sequences",
+        "temperature_sample", "decontaminate_spans", "conversation_pack",
+        "holdout_split", "turn_role_stats",
+        "line_filter", "paragraph_dedup", "minhash_recall_report",
+    ]
+    names = list(entry.queries())
+    assert names[:len(expected_head)] == expected_head
+
+
+def _oracle_check_mod():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "oracle_check.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_strict_comparator_catches_hugeint_float_drift():
+    """r4 verdict #2: the replica's old compare (check_dtype=False,
+    atol=1e-6) shipped the SUM-dtype oracle bug as green three rounds
+    running. The strict comparator must fail exactly that shape: DuckDB
+    bare SUM -> HUGEINT -> pandas float64 vs Spark int64, values equal."""
+    import duckdb
+    import pandas as pd
+
+    oc = _oracle_check_mod()
+    spark_like = pd.DataFrame({"n": pd.array([3], dtype="int64")})
+    con = duckdb.connect()
+    bare = con.execute("SELECT SUM(1) AS n FROM RANGE(3)").fetchdf()
+    assert bare["n"].dtype.kind == "f", "precondition: HUGEINT->float64"
+    r = oc.compare_frames(spark_like, bare)
+    assert r["values_match"] and not r["kinds_match"] and not r["hash_match"]
+
+    cast = con.execute("SELECT SUM(1)::BIGINT AS n FROM RANGE(3)").fetchdf()
+    r2 = oc.compare_frames(spark_like, cast)
+    assert r2["values_match"] and r2["kinds_match"] and r2["hash_match"]
