@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video cells are opaque ``binary`` columns; the real codec
-libraries are not in this container, so the decode step is a clearly
-marked deterministic fake (``_fake_decode``) — the Spark-side plumbing
-(schema, Arrow batching, mapInPandas signature, partitioning) is real and
-tested, and swapping the fake for PIL/ffmpeg is a one-function change.
+Image/audio/video cells are opaque ``binary`` columns. The decode step
+(``decode_media``) sniffs magic bytes and REALLY decodes two formats with
+pure numpy — uncompressed BMP (BITMAPINFOHEADER) and RIFF/WAVE PCM —
+yielding true width/height/pixel rows resp. sample-frame count/rate/
+duration/PCM samples. Payloads that are neither (e.g. the synthetic
+corpus's text stand-ins) fall back to the clearly marked deterministic
+fake (``_fake_decode``); compressed codecs (JPEG/PNG/MP3/H.264) would
+need PIL/ffmpeg, which are absent in this container, so those too take
+the documented fallback rather than a partial decode.
 
 Scale notes: doc_id is unique, so there is deliberately NO repartition
 before the mapInPandas — a shuffle of payload bytes ahead of a per-row
@@ -55,9 +59,11 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fake_decode(payload: bytes, kind: str) -> dict:
     """STUB decode: deterministic pseudo-decode of an opaque payload.
 
-    Real deployment replaces this with PIL.Image.open / soundfile /
-    pyav frame sampling (NotImplemented here — libs absent). Shapes are
-    derived from a content digest so results are stable and testable."""
+    Fallback for payloads that are not a format ``decode_media`` can
+    really parse (the synthetic corpus's text stand-ins, or compressed
+    codecs that would need PIL/ffmpeg — absent in this container).
+    Shapes are derived from a content digest so results are stable and
+    testable."""
     h = hashlib.sha256(payload).digest()
     if kind == "image":
         width = 64 + h[0] % 192
@@ -72,6 +78,95 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
         height = 0
         frames = 1 + h[3] % 64  # "chunks"
     return {"width": width, "height": height, "frames": frames}
+
+
+class MediaDecodeError(ValueError):
+    """Raised for a payload that sniffs as BMP/WAV but is malformed."""
+
+
+def _decode_bmp(b: bytes) -> dict:
+    """Real decode of an uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER-or-later, BI_RGB): true width/height plus the pixel
+    rows (bottom-up storage flipped to top-down, row padding stripped).
+    Pure numpy — no image library involved."""
+    import struct
+
+    if len(b) < 54:
+        raise MediaDecodeError("BMP truncated before headers")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise MediaDecodeError("BITMAPCOREHEADER not supported")
+    width, raw_h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0:
+        raise MediaDecodeError("compressed BMP (BI_RGB only)")
+    if width <= 0 or raw_h == 0 or bpp not in (1, 4, 8, 24, 32):
+        raise MediaDecodeError("bad BMP dimensions/depth")
+    height = abs(raw_h)
+    row_bytes = ((width * bpp + 31) // 32) * 4
+    need = row_bytes * height
+    if data_off + need > len(b):
+        raise MediaDecodeError("BMP pixel array truncated")
+    rows = np.frombuffer(b, np.uint8, count=need,
+                         offset=data_off).reshape(height, row_bytes)
+    if raw_h > 0:  # bottom-up storage -> top-down rows
+        rows = rows[::-1]
+    used = (width * bpp + 7) // 8
+    return {"width": width, "height": height, "frames": 1,
+            "bpp": bpp, "pixels": np.ascontiguousarray(rows[:, :used])}
+
+
+def _decode_wav(b: bytes) -> dict:
+    """Real decode of a RIFF/WAVE PCM payload: chunk walk for fmt/data,
+    true sample-frame count, rate, channel count, duration, and the PCM
+    samples (int16 or uint8). Pure numpy — no audio library involved."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        sz = struct.unpack_from("<I", b, i + 4)[0]
+        body = b[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise MediaDecodeError("fmt chunk truncated")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MediaDecodeError("missing fmt/data chunk")
+    audio_format, channels, rate, _byterate, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise MediaDecodeError("PCM 8/16-bit only")
+    if channels < 1 or rate < 1 or block_align != channels * (bits // 8):
+        raise MediaDecodeError("inconsistent fmt chunk")
+    n_frames = len(data) // block_align
+    dtype = np.int16 if bits == 16 else np.uint8
+    samples = np.frombuffer(
+        data, dtype=dtype, count=n_frames * channels)
+    return {"width": 0, "height": 0, "frames": n_frames,
+            "sample_rate": rate, "channels": channels, "bits": bits,
+            "duration": round(n_frames / rate, 6),
+            "samples": samples.reshape(n_frames, channels)}
+
+
+def decode_media(payload: bytes, kind: str) -> dict:
+    """Magic-byte-sniffing decode: real BMP/WAV parse when the payload
+    is one, deterministic fake otherwise. All results carry the common
+    ``width``/``height``/``frames`` contract the Spark schemas use; real
+    decodes additionally carry pixels / samples / rate / duration."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    return _fake_decode(payload, kind)
 
 
 _FEATURE_DIM = 8
@@ -102,6 +197,16 @@ def _hist_counts(payload: bytes) -> np.ndarray:
     return np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM)
 
 
+def _content_bytes(meta: dict, payload: bytes) -> bytes:
+    """Feature input: decoded pixel rows / PCM samples when the payload
+    really decoded, raw payload bytes otherwise (fake path)."""
+    if "pixels" in meta:
+        return meta["pixels"].tobytes()
+    if "samples" in meta:
+        return meta["samples"].tobytes()
+    return payload
+
+
 def _feature_batches(vector: bool):
     """mapInPandas body: decode + feature-extract one Arrow batch.
 
@@ -112,9 +217,10 @@ def _feature_batches(vector: bool):
     string formatting never enters the comparison)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(bytes(p), k)
+            metas = [decode_media(bytes(p), k)
                      for (p, k) in zip(pdf["payload"], pdf["kind"])]
-            hists = [_hist_counts(bytes(p)) for p in pdf["payload"]]
+            hists = [_hist_counts(_content_bytes(m, bytes(p)))
+                     for (m, p) in zip(metas, pdf["payload"])]
             cols = {
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],
@@ -210,7 +316,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str,
             rows = {"doc_id": [], "frames": [], "sample_pos": [],
                     "frame_idx": []}
             for (d, p) in zip(pdf["doc_id"], pdf["payload"]):
-                frames = _fake_decode(bytes(p), "video")["frames"]
+                frames = decode_media(bytes(p), "video")["frames"]
                 for j in range(k):
                     rows["doc_id"].append(d)
                     rows["frames"].append(frames)

@@ -1,0 +1,141 @@
+"""Real-codec multimodal decode (r4 verdict #5): decode_media sniffs
+magic bytes and really parses uncompressed BMP and RIFF/WAVE PCM with
+pure numpy; everything else falls back to the documented deterministic
+fake. These tests construct genuine BMP/WAV bytes with struct and assert
+TRUE width/height/frame-count/duration — upgrading multimodal from
+"plumbing + stub" to "decodes real media" — plus the Spark mapInPandas
+path over a table of real payloads.
+"""
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdfminer_spark.ops.multimodal import (MediaDecodeError, _fake_decode,
+                                           decode_media)
+
+
+def make_bmp(width, height, bpp=24, top_down=False, pixel_fn=None):
+    """Genuine BMP bytes: BITMAPFILEHEADER + BITMAPINFOHEADER + BI_RGB
+    pixel array with 4-byte row padding, bottom-up unless top_down."""
+    row_bytes = ((width * bpp + 31) // 32) * 4
+    used = (width * bpp + 7) // 8
+    rows = []
+    for y in range(height):
+        row = bytearray(row_bytes)
+        for i in range(used):
+            row[i] = (pixel_fn(y, i) if pixel_fn else (y * 31 + i)) % 256
+        rows.append(bytes(row))
+    storage = rows if top_down else rows[::-1]
+    pixels = b"".join(storage)
+    data_off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0,
+                                  data_off)
+              + struct.pack("<IiiHHIIiiII", 40, width,
+                            -height if top_down else height, 1, bpp,
+                            0, len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def make_wav(n_frames, rate=8000, channels=1, bits=16, sample_fn=None):
+    """Genuine RIFF/WAVE PCM bytes with fmt + data chunks."""
+    block = channels * (bits // 8)
+    if bits == 16:
+        frames = np.array(
+            [[(sample_fn(i, c) if sample_fn else (i * 7 + c)) % 32768
+              for c in range(channels)] for i in range(n_frames)],
+            dtype="<i2")
+    else:
+        frames = np.array(
+            [[(sample_fn(i, c) if sample_fn else (i + c)) % 256
+              for c in range(channels)] for i in range(n_frames)],
+            dtype=np.uint8)
+    data = frames.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block,
+                      bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_true_dimensions_and_pixels():
+    b = make_bmp(5, 3, bpp=24)
+    m = decode_media(b, "image")
+    assert (m["width"], m["height"], m["frames"]) == (5, 3, 1)
+    assert m["pixels"].shape == (3, 15)  # padding stripped: 5 px * 3 B
+    # row order is top-down after the bottom-up flip: pixel_fn(y=0, i=0)
+    assert m["pixels"][0, 0] == 0 and m["pixels"][2, 0] == 62
+
+
+def test_bmp_top_down_negative_height():
+    td = decode_media(make_bmp(4, 2, top_down=True), "image")
+    bu = decode_media(make_bmp(4, 2, top_down=False), "image")
+    assert td["height"] == bu["height"] == 2
+    assert np.array_equal(td["pixels"], bu["pixels"])
+
+
+def test_bmp_1bit_row_padding():
+    b = make_bmp(20, 2, bpp=1)  # 20 px -> 3 used bytes, 4-byte rows
+    m = decode_media(b, "image")
+    assert (m["width"], m["height"], m["bpp"]) == (20, 2, 1)
+    assert m["pixels"].shape == (2, 3)
+
+
+def test_wav_true_duration_and_samples():
+    w = make_wav(1600, rate=8000, channels=2, bits=16)
+    m = decode_media(w, "audio")
+    assert m["frames"] == 1600
+    assert m["sample_rate"] == 8000 and m["channels"] == 2
+    assert m["duration"] == pytest.approx(0.2)
+    assert m["samples"].shape == (1600, 2)
+    assert int(m["samples"][3, 1]) == 3 * 7 + 1
+
+
+def test_wav_8bit_mono():
+    m = decode_media(make_wav(100, rate=100, channels=1, bits=8), "audio")
+    assert m["frames"] == 100 and m["duration"] == pytest.approx(1.0)
+    assert m["samples"].dtype == np.uint8
+
+
+def test_malformed_media_raises_not_fakes():
+    with pytest.raises(MediaDecodeError):
+        decode_media(b"BM" + b"\x00" * 10, "image")  # truncated headers
+    with pytest.raises(MediaDecodeError):
+        decode_media(b"RIFF" + struct.pack("<I", 4) + b"WAVE", "audio")
+
+
+def test_non_media_payload_takes_fake_path():
+    p = b"plain text payload, no magic"
+    assert decode_media(p, "image") == _fake_decode(p, "image")
+
+
+def test_spark_features_over_real_payloads(spark, tmp_path):
+    """End-to-end mapInPandas over a mixed table: real BMP + real WAV +
+    opaque text, one Arrow batch. Width/height/frames must be the TRUE
+    decoded values for the real payloads and the fake's for the text."""
+    from pdfminer_spark.ops.multimodal import (FEATURES_SCHEMA,
+                                               _feature_batches)
+
+    bmp, wav, txt = make_bmp(7, 4), make_wav(320, rate=1600), b"hello world"
+    pdf = pd.DataFrame({
+        "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+        "payload": [bmp, wav, txt],
+        "kind": ["image", "audio", "image"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r
+           for r in df.mapInPandas(_feature_batches(vector=True),
+                                   schema=FEATURES_SCHEMA).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["frames"]) == (7, 4, 1)
+    assert (out[1]["width"], out[1]["height"], out[1]["frames"]) == (0, 0, 320)
+    fake = _fake_decode(txt, "image")
+    assert (out[2]["width"], out[2]["height"]) == (fake["width"],
+                                                   fake["height"])
+    # features come from DECODED content for real media: the BMP's
+    # histogram equals the pixel-row bytes' histogram, not the file's
+    from pdfminer_spark.ops.multimodal import _hist_counts
+    m = decode_media(bmp, "image")
+    want = _hist_counts(m["pixels"].tobytes())
+    want = (want / want.sum()).round(6)
+    assert np.allclose(out[0]["feature"], want, atol=1e-6)
