@@ -94,8 +94,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
-                                    multimodal, relational, similarity,
-                                    sketches, temporal, textops)
+                                    multimodal, pdfcorpus, relational,
+                                    similarity, sketches, temporal, textops)
 
     q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q_all.update(curationops.QUERIES)
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all.update(multimodal.QUERIES)
     q_all.update(layoutops.QUERIES)
     q_all.update(datasetops.QUERIES)
+    q_all.update(pdfcorpus.QUERIES)
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the least-proven claims (r4 verdict items #1 and #3).
     priority = [
         "extract_documents", "extract_conversations", "curate_documents",
+        "curate_pdf_corpus",
         "layout_boxes", "media_resize", "media_frame_sample",
         "pii_scrub", "contamination_check", "stratified_sample",
         "pack_chunks", "normalize_text", "pack_sequences",
@@ -131,8 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
-                                    multimodal, relational, similarity,
-                                    sketches, temporal, textops)
+                                    multimodal, pdfcorpus, relational,
+                                    similarity, sketches, temporal, textops)
 
     o: dict[str, str] = {}
     o.update(curationops.ORACLES)
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(multimodal.ORACLES)
     o.update(layoutops.ORACLES)
     o.update(datasetops.ORACLES)
+    o.update(pdfcorpus.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)
     o["extract_conversations"] = """

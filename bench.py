@@ -76,7 +76,7 @@ def run_headline_queries(spark) -> dict[str, float]:
         "embedding_near_dups_fast", "ann_lsh_pairs", "ann_ivf_topk",
         "media_features", "layout_boxes", "extract_documents",
         "asof_join", "sessionize", "tfidf_keywords", "normalize_text",
-        "embedding_quantize",
+        "embedding_quantize", "curate_pdf_corpus",
     ]
     qs = entry.queries()
     out = {}
@@ -180,6 +180,23 @@ def skew_telemetry(spark, cpus: int) -> dict:
     }
 
 
+def control_probe() -> float:
+    """Phase-drift marker (r4 verdict #8): fixed single-thread CPU work
+    (sha256 over 256 MiB) timed immediately before each scaling probe.
+    The box has multi-minute noisy-neighbor phases that slow EVERYTHING
+    2-4x; publishing this control per rep makes a bad rep attributable
+    inside the artifact — a slow probe with a slow control is the box,
+    a slow probe with a fast control is the code."""
+    import hashlib
+
+    block = b"\x5a" * (1 << 20)
+    h = hashlib.sha256()
+    t0 = time.time()
+    for _ in range(256):
+        h.update(block)
+    return round(time.time() - t0, 4)
+
+
 def fresh_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -238,16 +255,25 @@ def main() -> None:
         # exit once a rep's ratio clears the gate with margin.
         levels: dict[int, float] = {}
         raw_ratios: list[float] = []
+        rep_log: list[dict] = []
         eff = 0.0
+        t_start = time.time()
         for rep in range(5):
             rep_tps: dict[int, float] = {}
             for cpus in (n_hi, n_lo):
+                # interleaved control: fixed CPU work timed right before
+                # the probe, so each measurement carries its own phase
+                # marker (r4 verdict #8)
+                ctl = control_probe()
                 out = subprocess.run(
                     ["python3", probe, str(cpus), str(scale_turns)],
                     capture_output=True, text=True, timeout=1800)
                 tps = json.loads(out.stdout.strip().splitlines()[-1])["tps"]
                 rep_tps[cpus] = tps
                 levels[cpus] = max(levels.get(cpus, 0.0), tps)
+                rep_log.append({"rep": rep, "cpus": cpus,
+                                "t_offset_s": round(time.time() - t_start, 1),
+                                "control_s": ctl, "tps": tps})
             raw = rep_tps[n_hi] / (4.0 * rep_tps[n_lo])
             raw_ratios.append(round(raw, 3))
             # clamp: a >1.0 draw just means the lo probe of that rep was
@@ -270,6 +296,15 @@ def main() -> None:
             "efficiency": round(eff, 3),
             "rep_ratios_raw": raw_ratios,
             "median_efficiency": med,
+            # per-rep attribution: timestamps + interleaved CPU control;
+            # drift = this probe's control time over the fastest control
+            # of the run (1.0 = clean phase, >~1.5 = noisy-neighbor
+            # phase touched that probe)
+            "rep_log": rep_log,
+            "phase_drift_max": round(
+                max(r["control_s"] for r in rep_log)
+                / min(r["control_s"] for r in rep_log), 2) if rep_log
+            else None,
         }
 
     print(json.dumps(result))

@@ -300,11 +300,11 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     # materialize signatures once: both sides of the self-join (and the
     # candidate dedup) reuse them — at corpus scale this is the persisted
     # signature table, not a recompute of the projections per side.
-    # Caller contract (round-3 advice): the cache must outlive the
-    # caller's terminal action, so it is NOT unpersisted here; long-lived
-    # sessions release op-level caches with spark.catalog.clearCache()
-    # between queries (bench.py does exactly that)
-    sigs = _lsh_sigs(spark, sf_dir, tables, bits).cache()
+    # Eager localCheckpoint, not cache(): materialized for the caller's
+    # action but not pinned in the CacheManager afterwards — the
+    # ContextCleaner frees the blocks once the frame is unreferenced
+    # (r4 verdict #7 unpersist audit)
+    sigs = _lsh_sigs(spark, sf_dir, tables, bits).localCheckpoint(eager=True)
     a = sigs.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     b = sigs.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
     cand = (

@@ -117,7 +117,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, h1, h2) longs only; the 64 per-permutation mins aggregate
     map-side (partial min), so the reduce side sees one row per doc per
     partition."""
-    d = _docs(spark, sf_dir, parallel=True)
+    return minhash_sigs_frame(_docs(spark, sf_dir, parallel=True))
+
+
+def minhash_sigs_frame(d: DataFrame) -> DataFrame:
+    """Frame-level MinHash signatures over any (doc_id, text) frame —
+    split out (r5) so composed pipelines (curate_pdf_corpus) reuse the
+    exact signature construction the oracles pin."""
     words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
     exploded = d.select(
         "doc_id",
@@ -175,8 +181,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The end-to-end LSH dedup shape for 100 TB: band-bucket self-join
     (candidates only — never the O(n^2) cross product), dedup of pairs
     that collide in several bands, then a signature-similarity estimate
-    that downstream either thresholds or verifies exactly per pair."""
-    sigs = dedup_minhash(spark, sf_dir).cache()
+    that downstream either thresholds or verifies exactly per pair.
+
+    The signature frame is consumed twice (banding + the est_jaccard
+    re-join); it is materialized via eager localCheckpoint rather than
+    cache() so nothing stays pinned in the CacheManager after the
+    caller's action (r4 verdict #7 unpersist audit)."""
+    return minhash_pairs_frame(
+        dedup_minhash(spark, sf_dir).localCheckpoint(eager=True))
+
+
+def minhash_pairs_frame(sigs: DataFrame) -> DataFrame:
+    """Frame-level banded-LSH candidate pairs + est_jaccard from a
+    signature frame (caller decides caching — sigs is read twice)."""
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),
@@ -331,10 +348,15 @@ def _cc_star(edges: DataFrame, max_iters: int = _STAR_MAX_ROUNDS) -> DataFrame:
         raise RuntimeError(
             "large-star/small-star did not converge in %d rounds"
             % max_iters)
+    # localCheckpoint, not cache(): materialized + lineage-free for the
+    # caller's downstream action, but NOT a CacheManager entry — blocks
+    # are freed by the ContextCleaner once the frame is unreferenced,
+    # so long sessions running many queries do not accrue pins (r4
+    # verdict #7; a DataFrame.cache() is held by the CacheManager until
+    # an explicit unpersist, surviving garbage collection)
     rep = (nodes.join(cur.withColumnRenamed("u", "id"), "id", "left")
-           .select("id", F.coalesce("v", "id").alias("rep"))).cache()
-    rep.count()
-    return rep
+           .select("id", F.coalesce("v", "id").alias("rep")))
+    return rep.localCheckpoint(eager=True)
 
 
 def curate_near_dups(spark: SparkSession, sf_dir: str,
@@ -402,11 +424,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str,
     from one table split by doc_id %% 10 (the driver corpus has no
     batch column); the split is in the oracle too.
 
-    Cache contract (round-3 advice): ``sigs`` feeds the band explode and
-    the per-pair agreement join, so it stays cached past this function's
-    return; sessions running many queries release op-level caches with
-    spark.catalog.clearCache() between them (as bench.py does)."""
-    sigs = dedup_minhash(spark, sf_dir).cache()
+    ``sigs`` feeds the band explode and the per-pair agreement join; it
+    is materialized via eager localCheckpoint, not cache(), so nothing
+    stays pinned in the CacheManager after the caller's action (r4
+    verdict #7 unpersist audit)."""
+    sigs = dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),

@@ -46,6 +46,7 @@ def test_queries_lead_with_never_driver_sampled_ops():
     name is a typo that silently drops out of the dict comprehension)."""
     expected_head = [
         "extract_documents", "extract_conversations", "curate_documents",
+        "curate_pdf_corpus",
         "layout_boxes", "media_resize", "media_frame_sample",
         "pii_scrub", "contamination_check", "stratified_sample",
         "pack_chunks", "normalize_text", "pack_sequences",

@@ -302,3 +302,34 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
     assert got[29] == ("dup_in_batch", 19)
     assert got[39] == ("unique", None)
     assert set(got) == {9, 19, 29, 39}  # indexed docs never re-judged
+
+
+def test_no_cache_pins_after_curate_near_dups(spark):
+    """r4 verdict #7 (unpersist audit): op-level materialization uses
+    eager localCheckpoint (ContextCleaner-freed after GC) or explicit
+    unpersist — never a bare DataFrame.cache(), which the CacheManager
+    pins until an explicit release. After the terminal action, the SQL
+    cache must hold nothing and every net-new persisted RDD must drain
+    once the frames are unreferenced."""
+    import gc
+    import time
+
+    from pdfminer_spark.ops.textops import curate_near_dups
+    from tests.conftest import SF_DIR
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    before = set(jmap().keySet().toArray())
+    df = curate_near_dups(spark, SF_DIR)
+    assert df.count() > 0
+    # no CacheManager entry may survive the action
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    del df
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        new = set(jmap().keySet().toArray()) - before
+        if not new:
+            break
+        time.sleep(0.5)
+    assert not new, f"persistent RDDs leaked past GC: {sorted(new)}"

@@ -42,9 +42,11 @@ AUDITS = [
      "session_window is a first-class aggregate: partial session "
      "fragments merge map-side around a single exchange."),
     ("dedup_minhash_pairs",
-     "signature table is an InMemoryTableScan (cached once, reused by "
-     "both self-join sides); candidates shuffle as bare id pairs; the "
-     "packed array<long> signature column joins back once per side."),
+     "signature table is a Scan ExistingRDD leaf (eager localCheckpoint "
+     "— materialized once, reused by both self-join sides, freed by the "
+     "ContextCleaner instead of pinned in the CacheManager); candidates "
+     "shuffle as bare id pairs; the packed array<long> signature column "
+     "joins back once per side."),
     ("ann_lsh_pairs",
      "bucket self-join keyed on (tbl, bucket); exact cosine in ONE "
      "ArrowEvalPython/mapInPandas stage after candidate dedup."),
@@ -85,6 +87,16 @@ AUDITS = [
      "side, adjacent-bucket equi-join on the other); the recall compare "
      "is a pair-key join + one global aggregate — no all-pairs stage "
      "appears anywhere in the tree."),
+    ("curate_pdf_corpus",
+     "extraction -> curation as ONE tree: the salted-repartition "
+     "mapInPandas extraction stage feeds (a) zero-exchange gopher "
+     "expressions, (b) the md5(paragraph) window + doc_id reassembly "
+     "pair of exchanges, and (c) the banded MinHash kill-set join over "
+     "a localCheckpoint leaf (materialized signatures, no CacheManager "
+     "pin); the doc spine re-enters each stat via per-doc-key left "
+     "joins (AQE picks broadcast at sample scale, sort-merge at "
+     "corpus scale — both correct) — nothing quadratic, nothing "
+     "driver-side."),
 ]
 
 
