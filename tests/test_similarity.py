@@ -155,6 +155,49 @@ def test_ivf_quantizer_persisted_across_processes(spark, tmp_path,
         sim._ivf_centroids(spark, str(corpus))
 
 
+def test_ivf_partial_table_triggers_retrain_and_prune(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r4: Spark creates the output dir before the write commits,
+    so a crashed/concurrent writer leaves a directory WITHOUT _SUCCESS.
+    The read gate must treat that as absent (retrain, never serve a
+    partial table), and a committing write prunes the uncommitted
+    leftovers."""
+    import os
+
+    import pdfminer_spark.ops.similarity as sim
+
+    root = tmp_path / "quant"
+    monkeypatch.setenv("SPARK_GRAFT_QUANTIZER_DIR", str(root))
+    sim.clear_centroid_cache()
+    trained = sim._ivf_centroids(spark, SF_DIR)
+    table = next(p for p in root.iterdir() if p.is_dir())
+    assert (table / "_SUCCESS").exists()
+
+    # simulate a crashed writer: drop the commit marker, poison the data
+    (table / "_SUCCESS").unlink()
+    retrained = {"n": 0}
+    real_train = sim._train_ivf
+
+    def counting_train(*a, **kw):
+        retrained["n"] += 1
+        return real_train(*a, **kw)
+
+    monkeypatch.setattr(sim, "_train_ivf", counting_train)
+    sim.clear_centroid_cache()
+    again = sim._ivf_centroids(spark, SF_DIR)
+    assert retrained["n"] == 1, "partial table must not be served"
+    assert again == trained
+    # the committing write pruned nothing here (same table recommitted);
+    # now plant a stale uncommitted sibling and train a DIFFERENT key:
+    stale = root / "deadbeef_k8_i3"
+    stale.mkdir()
+    (stale / "part-00000.parquet").write_bytes(b"junk")
+    sim.clear_centroid_cache()
+    sim._ivf_centroids(spark, SF_DIR, iters=1)  # different key -> train+write
+    assert not stale.exists(), "uncommitted sibling must be pruned"
+    assert (table / "_SUCCESS").exists(), "committed tables stay live"
+
+
 def test_semantic_dedup_drops_within_cell_keep_first(spark, tmp_path):
     """SemDeDup semantics on a seeded corpus: a planted near-identical
     pair (cos ~ 1) must keep the smaller vec_id and drop the larger;
