@@ -58,12 +58,19 @@ def _pdf_docs(spark: SparkSession) -> DataFrame:
     t0 = datetime.datetime(2026, 1, 1)
     rows = [(name, 0, "tool", payloads[name], "pdf", t0) for name in order]
     tr = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
-    ext = extract_transcripts(tr, page_numbers=[0], salt=2)
+    # 10 one-page docs: cap the fan-out (32 default shuffle partitions
+    # would fork a python worker per mostly-empty partition) and
+    # materialize via eager localCheckpoint — the frame feeds BOTH the
+    # gopher/paragraph chain and the MinHash chain, and without the
+    # checkpoint the PDF extraction would execute once per consumer
+    ext = extract_transcripts(tr, page_numbers=[0], salt=2,
+                              num_partitions=len(order))
     mapping = spark.createDataFrame(
         [(name, i) for i, name in enumerate(order)],
         "conv_id string, doc_id long")
     return (ext.join(F.broadcast(mapping), "conv_id")
-            .select("doc_id", F.col("conv_id").alias("name"), "text"))
+            .select("doc_id", F.col("conv_id").alias("name"), "text")
+            .localCheckpoint(eager=True))
 
 
 def curate_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
