@@ -546,10 +546,14 @@ def _simhash_candidates(sims: DataFrame) -> DataFrame:
         .bitwiseAND(F.lit((1 << width) - 1))
         for (start, shift, width) in _SIM_BLOCKS
     ]
+    # combo keys packed as ONE long (11-bit block slots + combo index:
+    # ((ci*2048 + b_i)*2048 + b_j)*2048 + b_k < 2^38): an 8-byte shuffle
+    # key that hashes in one op, vs the r4 '#'-joined decimal string
+    # (~30 bytes + string hash). Key format never reaches the output —
+    # only the candidate SET matters — so the oracle is untouched.
     keys = F.array(*[
-        F.concat_ws("#", F.lit(str(ci)),
-                    blocks[i].cast("string"), blocks[j].cast("string"),
-                    blocks[k].cast("string"))
+        ((F.lit(ci * 2048) + blocks[i]) * 2048 + blocks[j]) * 2048
+        + blocks[k]
         for ci, (i, j, k) in enumerate(_SIM_COMBOS)
     ])
     keyed = sims.select("doc_id", F.explode(keys).alias("mk"))
@@ -573,7 +577,13 @@ def _simhash_cand(sims: DataFrame) -> DataFrame:
     Membership is then re-expanded: within-group pairs are hamming 0 by
     construction (a simhash self-equi-join, no banding needed), and each
     cross-group rep pair fans out to members_a x members_b with the rep
-    hamming (hamming depends only on the fingerprints)."""
+    hamming (hamming depends only on the fingerprints).
+
+    ``sims`` feeds four subplans (rep grouping, two signature re-joins,
+    the within-group self-join); the eager localCheckpoint materializes
+    the 64-expression signature aggregation exactly once — and is freed
+    by the ContextCleaner, not pinned in the CacheManager."""
+    sims = sims.localCheckpoint(eager=True)
     reps = sims.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     cand = _simhash_candidates(reps)
     sa = reps.select(F.col("doc_id").alias("id_a"),
