@@ -88,15 +88,14 @@ AUDITS = [
      "is a pair-key join + one global aggregate — no all-pairs stage "
      "appears anywhere in the tree."),
     ("curate_pdf_corpus",
-     "extraction -> curation as ONE tree: the salted-repartition "
-     "mapInPandas extraction stage feeds (a) zero-exchange gopher "
-     "expressions, (b) the md5(paragraph) window + doc_id reassembly "
-     "pair of exchanges, and (c) the banded MinHash kill-set join over "
-     "a localCheckpoint leaf (materialized signatures, no CacheManager "
-     "pin); the doc spine re-enters each stat via per-doc-key left "
-     "joins (AQE picks broadcast at sample scale, sort-merge at "
-     "corpus scale — both correct) — nothing quadratic, nothing "
-     "driver-side."),
+     "extraction (salted-repartition mapInPandas) runs ONCE at frame "
+     "construction and enters the tree as a materialized ExistingRDD leaf "
+     "feeding (a) zero-exchange gopher expressions, (b) the md5(paragraph) "
+     "window + doc_id reassembly pair of exchanges, and (c) the banded "
+     "MinHash kill-set join over a checkpointed signature leaf; the doc "
+     "spine re-enters each stat via per-doc-key left joins (AQE picks "
+     "broadcast at sample scale, sort-merge at corpus scale — both correct) "
+     "— nothing quadratic, nothing driver-side."),
 ]
 
 
