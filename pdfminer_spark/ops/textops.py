@@ -837,6 +837,54 @@ def docfreq_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("doc_frac")))
 
 
+# -- exact-substring dedup -----------------------------------------------------
+
+_SUBSTR_W = 20     # tokens per exact-match window (Lee et al. 2022 use 50
+                   # BPE tokens; scaled to this corpus's ~100-word docs)
+_SUBSTR_MAX_DF = 16  # a window in more docs than this is boilerplate, not
+                     # duplication evidence — it goes to docfreq_boilerplate
+
+
+def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, the ExactSubstr
+    variant): two documents are flagged when they share ANY exact run of
+    ``_SUBSTR_W`` consecutive tokens, found via stride-1 rolling window
+    hashes — the suffix-array result expressed relationally. Emits
+    (id_a, id_b, n_shared_windows).
+
+    Scale shape: the sliding explode is ~tokens-per-doc rows carrying an
+    md5 digest only; one shuffle keyed on the window hash. Pair
+    formation joins only windows with document frequency in (1,
+    ``_SUBSTR_MAX_DF``] — df=1 windows are unique (no pair), df >
+    ``_SUBSTR_MAX_DF`` windows are corpus boilerplate whose g^2 bucket
+    blow-up this cap removes (they belong to ``docfreq_boilerplate``,
+    not a dup verdict). Bucket sizes are therefore bounded by the cap,
+    never by corpus size."""
+    d = _docs(spark, sf_dir, parallel=True)
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    n = F.size(words)
+    grams = F.when(
+        n >= _SUBSTR_W,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - (_SUBSTR_W - 1)),
+            lambda i: F.md5(F.array_join(F.slice(words, i, _SUBSTR_W),
+                                         " ")))),
+    ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    dup_grams = (g.groupBy("gram").agg(F.count("*").alias("df"))
+                 .where((F.col("df") > 1) & (F.col("df") <= _SUBSTR_MAX_DF))
+                 .select("gram"))
+    elig = g.join(dup_grams, "gram")
+    a = elig.select(F.col("doc_id").alias("id_a"), "gram")
+    b = elig.select(F.col("doc_id").alias("id_b"), "gram")
+    return (a.join(b, "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_windows")))
+
+
 # -- language id -------------------------------------------------------------------
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,6 +1236,28 @@ ORACLES["tfidf_keywords"] = """
     WHERE rank <= %d
 """ % _TFIDF_TOPK
 
+ORACLES["substring_dup_pairs"] = """
+    WITH w AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             MD5(ARRAY_TO_STRING(w[i : i + %(wm1)d], ' ')) AS gram
+      FROM w, UNNEST(RANGE(1, LEN(w) - %(win)d + 2)) AS t(i)
+      WHERE LEN(w) >= %(win)d
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(*) > 1 AND COUNT(*) <= %(cap)d
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_windows
+    FROM g a JOIN dup USING (gram) JOIN g b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+""" % {"win": _SUBSTR_W, "wm1": _SUBSTR_W - 1, "cap": _SUBSTR_MAX_DF}
+
 ORACLES["docfreq_boilerplate"] = """
     WITH w AS (
       SELECT doc_id,
@@ -1256,4 +1326,5 @@ QUERIES = {
     "repetition_filter": repetition_filter,
     "tfidf_keywords": tfidf_keywords,
     "docfreq_boilerplate": docfreq_boilerplate,
+    "substring_dup_pairs": substring_dup_pairs,
 }

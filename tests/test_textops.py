@@ -333,3 +333,37 @@ def test_no_cache_pins_after_curate_near_dups(spark):
             break
         time.sleep(0.5)
     assert not new, f"persistent RDDs leaked past GC: {sorted(new)}"
+
+
+def test_substring_dup_pairs_semantics(spark, tmp_path):
+    """ExactSubstr semantics (Lee et al. 2022): a shared run of >= 20
+    consecutive tokens links two docs; shorter overlaps do not; a window
+    occurring in more docs than the boilerplate cap is evidence of
+    templating, not duplication, and produces NO pairs."""
+    import os
+
+    import pandas as pd
+
+    from pdfminer_spark.ops.textops import (_SUBSTR_MAX_DF, _SUBSTR_W,
+                                            substring_dup_pairs)
+
+    run = " ".join("tok%d" % i for i in range(_SUBSTR_W))  # exactly W
+    filler_a = " ".join("aaa%d" % i for i in range(10))
+    filler_b = " ".join("bbb%d" % i for i in range(10))
+    short = " ".join("tok%d" % i for i in range(_SUBSTR_W - 1))
+    boiler = " ".join("copyright%d" % i for i in range(_SUBSTR_W))
+    rows = [
+        (0, f"{filler_a} {run}"),          # shares `run` with doc 1
+        (1, f"{run} {filler_b}"),
+        (2, f"{filler_b} {short} zzz"),    # 19-token overlap only
+    ]
+    # boilerplate window in MAX_DF + 1 docs -> capped out, no pairs
+    for k in range(_SUBSTR_MAX_DF + 1):
+        rows.append((10 + k, f"unique{k}x unique{k}y {boiler}"))
+    d = tmp_path / "docs"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {(r["id_a"], r["id_b"]): r["n_shared_windows"]
+           for r in substring_dup_pairs(spark, str(d)).collect()}
+    assert got == {(0, 1): 1}, got
