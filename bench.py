@@ -76,7 +76,7 @@ def run_headline_queries(spark) -> dict[str, float]:
         "embedding_near_dups_fast", "ann_lsh_pairs", "ann_ivf_topk",
         "media_features", "layout_boxes", "extract_documents",
         "asof_join", "sessionize", "tfidf_keywords", "normalize_text",
-        "embedding_quantize", "curate_pdf_corpus",
+        "embedding_quantize", "curate_pdf_corpus", "substring_dup_pairs",
     ]
     qs = entry.queries()
     out = {}
