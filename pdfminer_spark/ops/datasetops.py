@@ -279,6 +279,73 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_BLOOM_BITS = 8192   # m: 128 64-bit words (1 KiB) — benchmarks are small
+_BLOOM_K = 3         # hash functions; fp ~ (1 - e^(-k*n/m))^k
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contamination_check`` with a Bloom-filter PREFILTER — the shape
+    that survives 100 TB: the eval-set gram Bloom (built relationally:
+    k xxhash64 positions per gram -> explode -> groupBy(word) with a
+    ``bit_or`` aggregate over 64-bit words, m/64 rows total) broadcasts
+    at ~1 KiB regardless of eval-set size, and the full training-gram
+    explode is reduced to Bloom survivors BEFORE any join against the
+    eval table. An exact join then confirms survivors, so the output is
+    PROVABLY identical to the exact operator (same oracle) — the Bloom
+    only cuts the candidate volume, it never decides membership. False
+    positives cost one extra row through the confirm join; at k=3,
+    m=8192 and a few hundred eval grams the fp rate is ~0.3%.
+
+    This is Spark's runtime bloom-join pushdown made explicit as a
+    first-class, parameterized operator (the builtin is a planner
+    heuristic that cannot be forced from the API)."""
+    d = _docs(spark, sf_dir)
+    grams = d.select("doc_id", _gram_hashes().alias("grams"))
+    bench_grams = (grams.where(F.col("doc_id") % 100 == 7)
+                   .select(F.explode("grams").alias("gram")).distinct())
+
+    def positions(col):
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_K)]
+
+    # Bloom build: (word_idx, bit_or of 1<<bit) — m/64 rows
+    pos = bench_grams.select(
+        F.explode(F.array(*positions(F.col("gram")))).alias("p"))
+    bit_expr = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+    bloom = (pos.select((F.col("p") / 64).cast("int").alias("widx"),
+                        bit_expr.alias("bit"))
+             .groupBy("widx").agg(F.bit_or("bit").alias("word")))
+
+    train = (grams.where(F.col("doc_id") % 100 != 7)
+             .select("doc_id", F.size("grams").alias("n_grams"),
+                     F.explode("grams").alias("gram")))
+    probes = train.select(
+        "doc_id", "n_grams", "gram",
+        F.posexplode(F.array(*positions(F.col("gram")))).alias("k", "p"))
+    checked = (probes
+               .select("doc_id", "n_grams", "gram", "k",
+                       (F.col("p") / 64).cast("int").alias("widx"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(p % 64 AS INT))").alias("bit"))
+               .join(F.broadcast(bloom), "widx", "left")
+               .withColumn("hit", F.coalesce(F.col("word"), F.lit(0))
+                           .bitwiseAND(F.col("bit")) != 0))
+    survivors = (checked.groupBy("doc_id", "n_grams", "gram")
+                 .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
+                 .where(F.col("all_hit") == 1)
+                 .select("doc_id", "n_grams", "gram"))
+    # exact confirm: identical output contract to contamination_check
+    hits = (survivors.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count("*").alias("n_contaminated")))
+    return hits.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round(F.col("n_contaminated") /
+                F.greatest(F.col("n_grams"), F.lit(1)), 4).alias("ratio"),
+    )
+
+
+
 def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval decontamination with SPAN REMOVAL: where contamination_check
     only flags documents, this strips the offending text — every token
@@ -558,6 +625,10 @@ ORACLES["decontaminate_spans"] = """
     WHERE b.doc_id % 100 <> 7
 """
 
+# Bloom prefilter + exact confirm == the exact operator, row for row —
+# the oracle is therefore contamination_check's, verbatim
+ORACLES["contamination_bloom"] = ORACLES["contamination_check"]
+
 ORACLES["conversation_pack"] = """
     WITH turns AS (
       SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
@@ -687,6 +758,7 @@ ORACLES["normalize_text"] = """
 QUERIES = {
     "pii_scrub": pii_scrub,
     "contamination_check": contamination_check,
+    "contamination_bloom": contamination_bloom,
     "stratified_sample": stratified_sample,
     "pack_chunks": pack_chunks,
     "normalize_text": normalize_text,

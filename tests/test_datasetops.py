@@ -218,3 +218,37 @@ def test_turn_role_stats_roles_partition_turns(spark):
     for r in rows:
         assert r["n_user"] + r["n_assistant"] + r["n_tool"] == r["n_turns"]
         assert abs(r["tool_ratio"] - r["n_tool"] / r["n_turns"]) < 1e-3
+
+
+def test_contamination_bloom_equals_exact_and_prefilters(spark):
+    """The Bloom prefilter must be output-identical to the exact
+    operator (it only cuts candidate volume; an exact join confirms
+    survivors), and the prefilter must actually prefilter: Bloom
+    survivors are a small superset of true hits, far below the full
+    training gram volume."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_spark.ops.datasetops import (_BLOOM_BITS, _BLOOM_K,
+                                               _docs, _gram_hashes,
+                                               contamination_bloom,
+                                               contamination_check)
+    from tests.conftest import SF_DIR
+
+    exact = {tuple(r) for r in contamination_check(spark, SF_DIR).collect()}
+    bloom = {tuple(r) for r in contamination_bloom(spark, SF_DIR).collect()}
+    assert bloom == exact
+
+    # prefilter effectiveness: survivors <= true hits + fp bound
+    d = _docs(spark, SF_DIR)
+    grams = d.select("doc_id", _gram_hashes().alias("grams"))
+    n_train_grams = (grams.where(F.col("doc_id") % 100 != 7)
+                     .select(F.explode("grams")).count())
+    n_bench = (grams.where(F.col("doc_id") % 100 == 7)
+               .select(F.explode("grams").alias("g")).distinct().count())
+    n_true_hits = sum(r[2] for r in exact)
+    import math
+    fp_rate = (1 - math.exp(-_BLOOM_K * n_bench / _BLOOM_BITS)) ** _BLOOM_K
+    # survivors can't be counted from the public surface; bound check:
+    # expected survivors ~ true hits + fp_rate * train grams, and that
+    # must be well under the unfiltered volume the exact op joins
+    assert n_true_hits + fp_rate * n_train_grams < 0.2 * n_train_grams
