@@ -316,23 +316,23 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bit_expr.alias("bit"))
              .groupBy("widx").agg(F.bit_or("bit").alias("word")))
 
+    # one-row broadcast MAP(word_idx -> word): every probe is a map
+    # lookup, so the whole prefilter is MAP-SIDE — zero shuffle of
+    # training grams (an explode -> groupBy membership test would
+    # re-shuffle k x the gram volume for nothing)
+    bloom_map = bloom.agg(F.map_from_entries(
+        F.collect_list(F.struct("widx", "word"))).alias("bf"))
     train = (grams.where(F.col("doc_id") % 100 != 7)
              .select("doc_id", F.size("grams").alias("n_grams"),
-                     F.explode("grams").alias("gram")))
-    probes = train.select(
-        "doc_id", "n_grams", "gram",
-        F.posexplode(F.array(*positions(F.col("gram")))).alias("k", "p"))
-    checked = (probes
-               .select("doc_id", "n_grams", "gram", "k",
-                       (F.col("p") / 64).cast("int").alias("widx"),
-                       F.expr("shiftleft(CAST(1 AS BIGINT), "
-                              "CAST(p % 64 AS INT))").alias("bit"))
-               .join(F.broadcast(bloom), "widx", "left")
-               .withColumn("hit", F.coalesce(F.col("word"), F.lit(0))
-                           .bitwiseAND(F.col("bit")) != 0))
-    survivors = (checked.groupBy("doc_id", "n_grams", "gram")
-                 .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
-                 .where(F.col("all_hit") == 1)
+                     F.explode("grams").alias("gram"))
+             .crossJoin(F.broadcast(bloom_map)))
+    hit = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = f"pmod(xxhash64(gram, {i}), {_BLOOM_BITS})"
+        word = f"coalesce(try_element_at(bf, CAST({p} / 64 AS INT)), 0)"
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+        hit = hit & (F.expr(f"{word} & {bit}") != 0)
+    survivors = (train.where(hit)
                  .select("doc_id", "n_grams", "gram"))
     # exact confirm: identical output contract to contamination_check
     hits = (survivors.join(F.broadcast(bench_grams), "gram")
