@@ -96,8 +96,17 @@ AUDITS = [
      "spine re-enters each stat via per-doc-key left joins (AQE picks "
      "broadcast at sample scale, sort-merge at corpus scale — both correct) "
      "— nothing quadratic, nothing driver-side."),
+    ("substring_dup_pairs",
+     "stride-1 window hashes explode map-side; ONE exchange keyed on the "
+     "window md5 for the document-frequency gate; the pair self-join sees "
+     "only df-in-(1,cap] windows, so bucket width is bounded by the cap, "
+     "never by corpus size."),
+    ("contamination_bloom",
+     "the Bloom is m/64 bit_or words aggregated to a ONE-ROW broadcast "
+     "map; every probe is a map lookup + bitwise test, so the prefilter "
+     "is entirely map-side (zero exchange of training grams) and only "
+     "Bloom survivors reach the exact-confirm broadcast join."),
 ]
-
 
 def main() -> None:
     from pdfminer_spark.spark.session import get_spark
