@@ -132,6 +132,54 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOPK_TOKENS = 50
 
 
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): score every
+    document by mean token log-probability under a unigram LM trained on
+    the corpus ITSELF (add-1 smoothing), then bucket the corpus into
+    head / middle / tail thirds by score — the published recipe keeps
+    the middle band for training.
+
+    Cross-engine determinism: the danger in any LM score is a float SUM
+    whose partial-aggregation order differs between engines. Per-token
+    log-probs are therefore quantized to FIXED-POINT micro-units
+    (floor(ln(p) * 1e6) as BIGINT) before aggregation — integer sums
+    are exact and order-independent; both engines compute ln of the
+    IDENTICAL double ((c+1)/(N+V), a correctly-rounded int division),
+    and a 1-ulp libm divergence only matters within 1 ulp of a 1e-6
+    boundary (~1e-10 per token type).
+
+    Scale: two count aggregates (token explode is map-side), the
+    log-prob table broadcasts (vocabulary-sized), the per-doc score is
+    one groupBy. The global head/middle/tail split is a single-column
+    NTILE — at corpus scale that ranking is computed once per snapshot
+    (CCNet does exactly this with its percentile cutoffs); swap in
+    approx percentile cutoffs when one partition cannot hold the
+    (doc_id, score) pairs."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_words()).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = (toks.agg(F.count("*").alias("n"))
+              .crossJoin(counts.agg(F.count("*").alias("v"))))
+    lp6 = F.floor(
+        F.log((F.col("c") + 1).cast("double")
+              / (F.col("n") + F.col("v"))) * 1e6).cast("long")
+    lp = counts.crossJoin(F.broadcast(totals)).select(
+        "tok", lp6.alias("lp6"))
+    scored = (toks.join(F.broadcast(lp), "tok")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum("lp6").alias("s6")))
+    mean_lp = F.round(
+        (F.col("s6").cast("double") / F.col("n_tokens")) / 1e6, 4)
+    w = Window.orderBy(F.col("mean_logprob").desc(), F.col("doc_id"))
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w))
+    return (scored.select("doc_id", "n_tokens",
+                          mean_lp.alias("mean_logprob"))
+            .withColumn("ppl_bucket", bucket))
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 token frequencies (vocabulary head / stopword
     discovery). Deterministic order: count desc, then token asc — the
@@ -321,8 +369,37 @@ ORACLES: dict[str, str] = {
 
 ORACLES.update(_qa_oracles())
 
+ORACLES["lm_perplexity"] = f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), toks AS (
+      SELECT doc_id, UNNEST(w) AS tok FROM w
+    ), c AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), t AS (
+      SELECT (SELECT COUNT(*) FROM toks) AS n,
+             (SELECT COUNT(*) FROM c) AS v
+    ), lp AS (
+      SELECT tok,
+             CAST(FLOOR(LN((c + 1)::DOUBLE / (n + v)) * 1000000)
+                  AS BIGINT) AS lp6
+      FROM c, t
+    ), s AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp6)::BIGINT AS s6
+      FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND((s6::DOUBLE / n_tokens) / 1000000, 4) AS mean_logprob,
+           ['head', 'middle', 'tail'][NTILE(3) OVER (
+             ORDER BY ROUND((s6::DOUBLE / n_tokens) / 1000000, 4) DESC,
+                      doc_id)] AS ppl_bucket
+    FROM s
+"""
+
+
 QUERIES = {
     "gopher_quality": gopher_quality,
+    "lm_perplexity": lm_perplexity,
     "line_filter": line_filter,
     "paragraph_dedup": paragraph_dedup,
     "heavy_hitters": heavy_hitters,

@@ -196,3 +196,22 @@ def test_empty_doc_produces_no_phantom_windows(spark, tmp_path):
         want = {r[0] for r in con.execute(
             f"SELECT doc_id FROM ({ORACLES[name]})").fetchall()}
         assert got == want == {2}, (name, got, want)
+
+
+def test_lm_perplexity_ranks_common_above_rare(spark, tmp_path):
+    """CCNet semantics: a document of corpus-frequent tokens scores a
+    higher mean log-probability (head) than one of corpus-unique tokens
+    (tail); buckets split the corpus into thirds by score."""
+    from pdfminer_spark.ops.curationops import lm_perplexity
+
+    common = " ".join(["the"] * 30)                 # most frequent token
+    mixed = " ".join("the word%d" % i for i in range(15))
+    rare = " ".join("hapax%d" % i for i in range(30))   # all unique
+    sf = _write_docs(tmp_path, [common, mixed, rare])
+    rows = {r["doc_id"]: r for r in lm_perplexity(spark, sf).collect()}
+    assert rows[0]["mean_logprob"] > rows[1]["mean_logprob"] \
+        > rows[2]["mean_logprob"]
+    assert rows[0]["ppl_bucket"] == "head"
+    assert rows[1]["ppl_bucket"] == "middle"
+    assert rows[2]["ppl_bucket"] == "tail"
+    assert rows[0]["n_tokens"] == 30
