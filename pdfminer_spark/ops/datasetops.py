@@ -346,6 +346,95 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_DSIR_BUCKETS = 1024  # hashed-bigram feature space (Xie et al. use 10^4)
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-bigram distribution is —
+    log w(doc) = sum over its bigram occurrences of
+    ln(p_target(bucket) / p_raw(bucket)), with add-1 smoothed bucket
+    unigram models trained on the target slice (doc_id % 100 == 7, the
+    same held-out stand-in the decontamination ops use) and the raw
+    rest. High-weight docs are the ones importance resampling keeps.
+
+    Determinism: buckets come from md5 hex arithmetic (engine-portable,
+    like every hashed feature in this repo — DuckDB lacks xxhash64);
+    per-bucket log-ratios quantize to fixed-point micro-units (BIGINT)
+    before the per-doc SUM, so the score is exact integer arithmetic
+    with no float-summation-order hazard. The quantized model table is
+    computed ONCE on the driver (bounded: 1024 rows) with CPython's
+    libm — Spark's JVM StrictMath.log differs from the glibc log DuckDB
+    uses by an ulp at floor boundaries. Deciles order by (rounded
+    weight, doc_id).
+
+    Scale: bigram explode is map-side; two bucket-count aggregates over
+    a fixed 1024-bucket space (tiny, broadcast); one per-doc groupBy.
+    The decile NTILE is the same once-per-snapshot global ranking note
+    as lm_perplexity."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                          F.element_at(words, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    bucket = (_hex2long(F.md5(F.col("bg")), 1)
+              % _DSIR_BUCKETS).cast("int").alias("b")
+    occ = base.select("doc_id", bucket,
+                      (F.col("doc_id") % 100 == 7).alias("is_target"))
+    # model fitting with a BOUNDED driver round-trip (the IVF-centroid
+    # precedent: only the fixed 2 x 1024 count table ever reaches the
+    # driver, exactly what MLlib does between iterations). The log-ratio
+    # quantization happens in PYTHON, not in a Spark expression: Spark's
+    # Log compiles to JVM StrictMath.log (fdlibm), which differs from
+    # the glibc libm DuckDB and CPython share by an ulp often enough to
+    # flip a floor at an integer boundary (observed once in 1024 buckets
+    # at sf0.001) — computing w6 once on the driver gives BOTH engines
+    # the identical table by construction.
+    import math
+
+    counts = (occ.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("int")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("int")).alias("cr"))
+        .collect())  # <= _DSIR_BUCKETS rows, bounded
+    tc = {r["b"]: r["ct"] for r in counts}
+    rc = {r["b"]: r["cr"] for r in counts}
+    nt = sum(tc.values())
+    nr = sum(rc.values())
+    w6_rows = [
+        (b, math.floor(math.log(
+            ((tc.get(b, 0) + 1) / (nt + _DSIR_BUCKETS))
+            / ((rc.get(b, 0) + 1) / (nr + _DSIR_BUCKETS))) * 1e6))
+        for b in range(_DSIR_BUCKETS)
+    ]
+    ratios = spark.createDataFrame(w6_rows, "b int, w6 long")
+    scored = (occ.where(~F.col("is_target"))
+              .join(F.broadcast(ratios), "b")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("w6").alias("s6")))
+    # final 4-decimal rounding in INTEGER micro-units (half away from
+    # zero), then one exact division: Spark's round() goes through
+    # BigDecimal.valueOf (shortest-decimal string) while DuckDB rounds
+    # the raw double — they disagree exactly at displayed .5 boundaries,
+    # observed on real s6 values. Integer arithmetic agrees everywhere.
+    lw_e4 = F.expr(
+        "CAST(sign(s6) AS BIGINT) * ((abs(s6) + 50) div 100)")
+    log_w = lw_e4.cast("double") / F.lit(10000.0)
+    win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    return (scored.select("doc_id", "n_bigrams",
+                          log_w.alias("log_weight"))
+            .withColumn("weight_decile", F.ntile(10).over(win)))
+
+
+
 def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval decontamination with SPAN REMOVAL: where contamination_check
     only flags documents, this strips the offending text — every token
@@ -629,6 +718,50 @@ ORACLES["decontaminate_spans"] = """
 # the oracle is therefore contamination_check's, verbatim
 ORACLES["contamination_bloom"] = ORACLES["contamination_check"]
 
+ORACLES["dsir_weights"] = """
+    WITH w AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, doc_id %% 100 = 7 AS is_target,
+             UNNEST(CASE WHEN LEN(w) >= 2
+               THEN [w[i] || ' ' || w[i+1] FOR i IN RANGE(1, LEN(w))]
+               ELSE [] END) AS g
+      FROM w
+    ), occ AS (
+      SELECT doc_id, is_target, (%(h)s) %% %(B)d AS b
+      FROM (SELECT doc_id, is_target, MD5(g) AS hx FROM bg)
+    ), tcnt AS (
+      SELECT b, COUNT(*) AS ct FROM occ WHERE is_target GROUP BY b
+    ), rcnt AS (
+      SELECT b, COUNT(*) AS cr FROM occ WHERE NOT is_target GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM occ WHERE is_target) AS nt,
+             (SELECT COUNT(*) FROM occ WHERE NOT is_target) AS nr
+    ), ratios AS (
+      SELECT s.b,
+             CAST(FLOOR(LN(
+               ((COALESCE(ct, 0) + 1)::DOUBLE / (nt + %(B)d))
+               / ((COALESCE(cr, 0) + 1)::DOUBLE / (nr + %(B)d))) * 1000000)
+               AS BIGINT) AS w6
+      FROM (SELECT UNNEST(RANGE(0, %(B)d)) AS b) s
+      LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b), tot
+    ), scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(w6)::BIGINT AS s6
+      FROM occ JOIN ratios USING (b)
+      WHERE NOT is_target GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           (SIGN(s6)::BIGINT * ((ABS(s6) + 50) // 100))::DOUBLE / 10000
+             AS log_weight,
+           NTILE(10) OVER (
+             ORDER BY (SIGN(s6)::BIGINT * ((ABS(s6) + 50) // 100))::DOUBLE
+                      / 10000 DESC, doc_id) AS weight_decile
+    FROM scored
+""" % {"h": _hex2int_sql("hx", 1), "B": _DSIR_BUCKETS}
+
 ORACLES["conversation_pack"] = """
     WITH turns AS (
       SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
@@ -759,6 +892,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "contamination_check": contamination_check,
     "contamination_bloom": contamination_bloom,
+    "dsir_weights": dsir_weights,
     "stratified_sample": stratified_sample,
     "pack_chunks": pack_chunks,
     "normalize_text": normalize_text,

@@ -252,3 +252,29 @@ def test_contamination_bloom_equals_exact_and_prefilters(spark):
     # expected survivors ~ true hits + fp_rate * train grams, and that
     # must be well under the unfiltered volume the exact op joins
     assert n_true_hits + fp_rate * n_train_grams < 0.2 * n_train_grams
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """DSIR semantics: a raw document built from the target slice's
+    vocabulary outscores one from disjoint vocabulary (its hashed
+    bigrams fall in buckets the target model favors)."""
+    import os
+
+    import pandas as pd
+
+    from pdfminer_spark.ops.datasetops import dsir_weights
+
+    target_text = " ".join("targ%d" % (i % 6) for i in range(40))
+    like = " ".join("targ%d" % ((i + 3) % 6) for i in range(40))
+    unlike = " ".join("off%d" % i for i in range(40))
+    rows = [(7, target_text),      # doc_id % 100 == 7 -> target slice
+            (107, target_text),    # second target doc
+            (1, like), (2, unlike)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in dsir_weights(spark, str(d)).collect()}
+    assert set(got) == {1, 2}  # target docs are the model, not scored
+    assert got[1]["log_weight"] > got[2]["log_weight"]
+    assert got[1]["weight_decile"] < got[2]["weight_decile"]
