@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split", "turn_role_stats",
         "line_filter", "paragraph_dedup", "minhash_recall_report",
         "substring_dup_pairs", "contamination_bloom", "lm_perplexity",
-        "dsir_weights",
+        "dsir_weights", "corpus_report",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)

@@ -262,6 +262,47 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n")))
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus curation dashboard — the summary a pipeline run
+    publishes per snapshot: doc/token volume, gopher pass rate, exact-
+    and near-duplicate mass, and eval contamination, each computed by
+    the corresponding registered operator so the report can never drift
+    from the ops it summarizes.
+
+    Determinism: the pass ratio is computed half-up in INTEGER e4 units
+    ((n*20000 + d) div (2d) / 10000) — Spark round() (BigDecimal
+    shortest-string) and DuckDB ROUND (raw double) disagree at displayed
+    .5 boundaries, so no float ROUND appears anywhere in this report.
+
+    Scale: every component is one aggregate over its (already bucketed /
+    expression-level) operator; the report joins seven single-row frames
+    — a driver-side-cost-free crossJoin chain."""
+    from .textops import (dedup_exact, dedup_minhash_pairs, token_count)
+    from .datasetops import contamination_check
+
+    docs = (_docs(spark, sf_dir).agg(F.count("*").alias("n_docs")))
+    toks = (token_count(spark, sf_dir)
+            .agg(F.sum("ws_tokens").alias("total_tokens")))
+    gq = (gopher_quality(spark, sf_dir)
+          .agg(F.count("*").alias("n_scored"),
+               F.sum(F.col("passes").cast("int")).alias("n_gopher_pass")))
+    dup = (dedup_exact(spark, sf_dir)
+           .agg(F.sum(F.col("n_copies") - 1).alias("n_dup_docs")))
+    near = (dedup_minhash_pairs(spark, sf_dir)
+            .where(F.col("est_jaccard") >= 0.5)
+            .agg(F.count("*").alias("n_near_dup_pairs")))
+    cont = (contamination_check(spark, sf_dir)
+            .agg(F.count("*").alias("n_contaminated_docs")))
+    row = (docs.crossJoin(toks).crossJoin(gq).crossJoin(dup)
+           .crossJoin(near).crossJoin(cont))
+    pct = (F.expr("(n_gopher_pass * 20000 + n_scored) div (2 * n_scored)")
+           .cast("double") / F.lit(10000.0))
+    return row.select(
+        "n_docs", "total_tokens", "n_gopher_pass",
+        pct.alias("gopher_pass_pct"),
+        "n_dup_docs", "n_near_dup_pairs", "n_contaminated_docs")
+
+
 def _qa_oracles() -> dict:
     from .textops import ORACLES as _T
 
@@ -369,6 +410,41 @@ ORACLES: dict[str, str] = {
 
 ORACLES.update(_qa_oracles())
 
+
+def _corpus_report_oracle() -> str:
+    from .datasetops import ORACLES as _D
+    from .textops import ORACLES as _T
+
+    return """
+        WITH gq AS (
+          SELECT COUNT(*) AS n_scored,
+                 SUM(passes::INT)::BIGINT AS n_gopher_pass
+          FROM (%(gopher)s) g
+        )
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT SUM(ws_tokens)::BIGINT FROM (%(tokens)s) t)
+                 AS total_tokens,
+               n_gopher_pass,
+               ((n_gopher_pass * 20000 + n_scored)
+                // (2 * n_scored))::DOUBLE / 10000 AS gopher_pass_pct,
+               (SELECT SUM(n_copies - 1)::BIGINT FROM (%(exact)s) e)
+                 AS n_dup_docs,
+               (SELECT COUNT(*) FROM (%(pairs)s) p
+                WHERE est_jaccard >= 0.5) AS n_near_dup_pairs,
+               (SELECT COUNT(*) FROM (%(contam)s) c)
+                 AS n_contaminated_docs
+        FROM gq
+    """ % {
+        "gopher": ORACLES["gopher_quality"],
+        "tokens": _T["token_count"],
+        "exact": _T["dedup_exact"],
+        "pairs": _T["dedup_minhash_pairs"],
+        "contam": _D["contamination_check"],
+    }
+
+
+ORACLES["corpus_report"] = _corpus_report_oracle()
+
 ORACLES["lm_perplexity"] = f"""
     WITH w AS (
       SELECT doc_id, {_SQL_WORDS} AS w FROM documents
@@ -400,6 +476,7 @@ ORACLES["lm_perplexity"] = f"""
 QUERIES = {
     "gopher_quality": gopher_quality,
     "lm_perplexity": lm_perplexity,
+    "corpus_report": corpus_report,
     "line_filter": line_filter,
     "paragraph_dedup": paragraph_dedup,
     "heavy_hitters": heavy_hitters,

@@ -215,3 +215,23 @@ def test_lm_perplexity_ranks_common_above_rare(spark, tmp_path):
     assert rows[1]["ppl_bucket"] == "middle"
     assert rows[2]["ppl_bucket"] == "tail"
     assert rows[0]["n_tokens"] == 30
+
+
+def test_corpus_report_components_are_consistent(spark):
+    """The dashboard must agree with the operators it summarizes —
+    recompute each component directly and compare."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_spark.ops.curationops import corpus_report, gopher_quality
+    from pdfminer_spark.ops.textops import dedup_minhash_pairs
+    from tests.conftest import SF_DIR
+
+    (row,) = corpus_report(spark, SF_DIR).collect()
+    gq = gopher_quality(spark, SF_DIR)
+    n_pass = gq.where("passes").count()
+    assert row["n_gopher_pass"] == n_pass
+    assert row["gopher_pass_pct"] == round(n_pass / gq.count(), 4)
+    near = (dedup_minhash_pairs(spark, SF_DIR)
+            .where(F.col("est_jaccard") >= 0.5).count())
+    assert row["n_near_dup_pairs"] == near
+    assert row["n_docs"] > 0 and row["total_tokens"] > 0

@@ -54,7 +54,7 @@ def test_queries_lead_with_never_driver_sampled_ops():
         "holdout_split", "turn_role_stats",
         "line_filter", "paragraph_dedup", "minhash_recall_report",
         "substring_dup_pairs", "contamination_bloom", "lm_perplexity",
-        "dsir_weights",
+        "dsir_weights", "corpus_report",
     ]
     names = list(entry.queries())
     assert names[:len(expected_head)] == expected_head
