@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [2000, 8000]
     from pdfminer_spark.ops.similarity import ann_lsh_pairs
-    from pdfminer_spark.ops.textops import _simhash_candidates
+    from pdfminer_spark.ops.textops import (_simhash_candidates,
+                                        substring_dup_pairs)
     from pdfminer_spark.spark.session import get_spark
 
     spark = get_spark("capacity-probe", cpus=16, shuffle_partitions=32)
@@ -56,6 +57,18 @@ def main() -> None:
         print(json.dumps({"gen": "simhash_manku_6c3", "n": n,
                           "candidates": sh,
                           "rate": round(sh / pairs, 10)}))
+        # random 40-word docs over a 50k vocabulary: a shared 20-token
+        # window is essentially impossible, so the ExactSubstr pair rate
+        # must be ~0 beyond the single planted duplicate
+        texts = [" ".join("w%d" % pyrng.randrange(50000)
+                          for _ in range(40)) for _ in range(n)]
+        texts[1] = texts[0]  # planted exact dup
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": texts}).to_parquet(d + "/documents.parquet")
+        sd = substring_dup_pairs(spark, d).count()
+        print(json.dumps({"gen": "exact_substring_w20", "n": n,
+                          "candidates": sd,
+                          "rate": round(sd / pairs, 10)}))
         spark.catalog.clearCache()
     spark.stop()
 
