@@ -143,10 +143,17 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose partial-aggregation order differs between engines. Per-token
     log-probs are therefore quantized to FIXED-POINT micro-units
     (floor(ln(p) * 1e6) as BIGINT) before aggregation — integer sums
-    are exact and order-independent; both engines compute ln of the
-    IDENTICAL double ((c+1)/(N+V), a correctly-rounded int division),
-    and a 1-ulp libm divergence only matters within 1 ulp of a 1e-6
-    boundary (~1e-10 per token type).
+    are exact and order-independent. The (count -> lp6) table is built
+    ON THE DRIVER with CPython math.log (the dsir_weights precedent):
+    Spark's Log compiles to JVM StrictMath.log (fdlibm) while DuckDB
+    uses glibc LN — they differ by an ulp often enough to flip a FLOOR
+    at a 1e-6 boundary, so both engines are instead handed the same
+    glibc-computed table (CPython and DuckDB share libm). The table is
+    bounded: one row per DISTINCT token frequency, O(sqrt(N)) rows.
+    The 4-decimal mean rounds in INTEGER micro-units (half away from
+    zero via (2*|s6| + 100n) div (200n)) — Spark's float round() goes
+    through BigDecimal shortest-string while DuckDB rounds the raw
+    double; they disagree exactly at displayed .5 boundaries.
 
     Scale: two count aggregates (token explode is map-side), the
     log-prob table broadcasts (vocabulary-sized), the per-doc score is
@@ -155,22 +162,34 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CCNet does exactly this with its percentile cutoffs); swap in
     approx percentile cutoffs when one partition cannot hold the
     (doc_id, score) pairs."""
+    import math
+
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(_words()).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    totals = (toks.agg(F.count("*").alias("n"))
-              .crossJoin(counts.agg(F.count("*").alias("v"))))
-    lp6 = F.floor(
-        F.log((F.col("c") + 1).cast("double")
-              / (F.col("n") + F.col("v"))) * 1e6).cast("long")
-    lp = counts.crossJoin(F.broadcast(totals)).select(
-        "tok", lp6.alias("lp6"))
+    # BOUNDED driver round-trip: one row per distinct token frequency
+    # (O(sqrt(N)) by sum-of-counts), from which n and v also follow —
+    # then the lp6 table is computed with CPython's glibc log so Spark
+    # and DuckDB see byte-identical quantized log-probs by construction.
+    freq = (counts.groupBy("c").agg(F.count("*").alias("m")).collect())
+    n = sum(r["c"] * r["m"] for r in freq)
+    v = sum(r["m"] for r in freq)
+    lp6_rows = [
+        (r["c"], math.floor(math.log((r["c"] + 1) / (n + v)) * 1e6))
+        for r in freq
+    ] or [(0, 0)]
+    lp6_tab = spark.createDataFrame(lp6_rows, "c bigint, lp6 long")
+    lp = counts.join(F.broadcast(lp6_tab), "c").select("tok", "lp6")
     scored = (toks.join(F.broadcast(lp), "tok")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_tokens"),
                    F.sum("lp6").alias("s6")))
-    mean_lp = F.round(
-        (F.col("s6").cast("double") / F.col("n_tokens")) / 1e6, 4)
+    # half-away-from-zero 4-decimal rounding in integer micro-units:
+    # e4 = sign(s6) * floor(|s6|/(100n) + 1/2), one exact final divide
+    mean_lp = F.expr(
+        "cast(sign(s6) as bigint)"
+        " * ((2 * abs(s6) + 100 * n_tokens) div (200 * n_tokens))"
+    ).cast("double") / F.lit(10000.0)
     w = Window.orderBy(F.col("mean_logprob").desc(), F.col("doc_id"))
     bucket = F.element_at(
         F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
@@ -295,7 +314,13 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_contaminated_docs")))
     row = (docs.crossJoin(toks).crossJoin(gq).crossJoin(dup)
            .crossJoin(near).crossJoin(cont))
-    pct = (F.expr("(n_gopher_pass * 20000 + n_scored) div (2 * n_scored)")
+    # GREATEST(n_scored, 1): with gopher_quality filtering to docs with
+    # >=1 word, an all-empty corpus gives n_scored=0 — Spark 4 (ANSI)
+    # throws DIVIDE_BY_ZERO where DuckDB's // yields NULL. The guard
+    # makes both engines emit the same row (n_gopher_pass is NULL-SUM
+    # on the empty frame in both, so pct is NULL either way).
+    pct = (F.expr("(n_gopher_pass * 20000 + n_scored)"
+                  " div (2 * greatest(n_scored, 1))")
            .cast("double") / F.lit(10000.0))
     return row.select(
         "n_docs", "total_tokens", "n_gopher_pass",
@@ -426,7 +451,8 @@ def _corpus_report_oracle() -> str:
                  AS total_tokens,
                n_gopher_pass,
                ((n_gopher_pass * 20000 + n_scored)
-                // (2 * n_scored))::DOUBLE / 10000 AS gopher_pass_pct,
+                // (2 * GREATEST(n_scored, 1)))::DOUBLE / 10000
+                 AS gopher_pass_pct,
                (SELECT SUM(n_copies - 1)::BIGINT FROM (%(exact)s) e)
                  AS n_dup_docs,
                (SELECT COUNT(*) FROM (%(pairs)s) p
@@ -465,9 +491,11 @@ ORACLES["lm_perplexity"] = f"""
       FROM toks JOIN lp USING (tok) GROUP BY doc_id
     )
     SELECT doc_id, n_tokens,
-           ROUND((s6::DOUBLE / n_tokens) / 1000000, 4) AS mean_logprob,
+           (SIGN(s6)::BIGINT * ((2 * ABS(s6) + 100 * n_tokens)
+             // (200 * n_tokens)))::DOUBLE / 10000 AS mean_logprob,
            ['head', 'middle', 'tail'][NTILE(3) OVER (
-             ORDER BY ROUND((s6::DOUBLE / n_tokens) / 1000000, 4) DESC,
+             ORDER BY (SIGN(s6)::BIGINT * ((2 * ABS(s6) + 100 * n_tokens)
+                        // (200 * n_tokens)))::DOUBLE / 10000 DESC,
                       doc_id)] AS ppl_bucket
     FROM s
 """

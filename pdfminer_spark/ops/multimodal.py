@@ -162,10 +162,20 @@ def decode_media(payload: bytes, kind: str) -> dict:
     is one, deterministic fake otherwise. All results carry the common
     ``width``/``height``/``frames`` contract the Spark schemas use; real
     decodes additionally carry pixels / samples / rate / duration."""
+    # a sniffed parse that fails falls BACK to the fake (ADVICE r5): an
+    # opaque payload whose text merely starts with "BM"/"RIFF..WAVE"
+    # must not fail the whole query — only direct _decode_bmp/_decode_wav
+    # calls (tests, known-format callers) keep raising.
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        try:
+            return _decode_bmp(payload)
+        except MediaDecodeError:
+            return _fake_decode(payload, kind)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
+        try:
+            return _decode_wav(payload)
+        except MediaDecodeError:
+            return _fake_decode(payload, kind)
     return _fake_decode(payload, kind)
 
 

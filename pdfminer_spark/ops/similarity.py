@@ -464,13 +464,19 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
     _CENTROID_CACHE[key] = cents
     # prune uncommitted (no _SUCCESS) sibling dirs — crashed-writer
     # leftovers; committed quantizers for other corpora/SF dirs stay
-    # live for cross-process reuse (ADVICE r4)
+    # live for cross-process reuse (ADVICE r4). Age-gated (ADVICE r5):
+    # a CONCURRENT writer mid-write also has no _SUCCESS yet, so only
+    # dirs untouched for >1h are presumed crashed — the _SUCCESS read
+    # gate above already prevents serving a partial table either way.
     try:
         import shutil
+        import time
+        cutoff = time.time() - 3600
         for d in os.listdir(root):
             path = os.path.join(root, d)
             if (path != table and os.path.isdir(path)
-                    and not os.path.exists(os.path.join(path, "_SUCCESS"))):
+                    and not os.path.exists(os.path.join(path, "_SUCCESS"))
+                    and os.path.getmtime(path) < cutoff):
                 shutil.rmtree(path, ignore_errors=True)
     except OSError:
         pass

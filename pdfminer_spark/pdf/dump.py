@@ -161,9 +161,11 @@ def dumpoutline(out, data: bytes, password: bytes = b"") -> None:
             pageno = page_of(dest)
         elif action:
             action = resolve1(action)
+            # truthiness, not `is not None`: the reference
+            # (tools/dumppdf.py:148) skips an empty /D array/string
             if isinstance(action, dict) and \
                     str(resolve1(action.get("S"))) == "GoTo" and \
-                    action.get("D") is not None:
+                    action.get("D"):
                 try:
                     dest = resolve_dest(action["D"])
                 except KeyError:

@@ -98,11 +98,21 @@ def test_wav_8bit_mono():
     assert m["samples"].dtype == np.uint8
 
 
-def test_malformed_media_raises_not_fakes():
+def test_malformed_media_falls_back_not_fails():
+    """ADVICE r5: an opaque payload that merely shares the 2/4-byte
+    magic prefix must take the fake path (the whole query must not
+    fail on it); the direct decoders keep raising for tests/callers."""
+    from pdfminer_spark.ops.multimodal import _decode_bmp, _decode_wav
+
+    bm_like = b"BM" + b"\x00" * 10  # truncated header
+    riff_like = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
     with pytest.raises(MediaDecodeError):
-        decode_media(b"BM" + b"\x00" * 10, "image")  # truncated headers
+        _decode_bmp(bm_like)
     with pytest.raises(MediaDecodeError):
-        decode_media(b"RIFF" + struct.pack("<I", 4) + b"WAVE", "audio")
+        _decode_wav(riff_like)
+    assert decode_media(bm_like, "image") == _fake_decode(bm_like, "image")
+    assert decode_media(riff_like, "audio") == _fake_decode(
+        riff_like, "audio")
 
 
 def test_non_media_payload_takes_fake_path():

@@ -188,13 +188,22 @@ def test_ivf_partial_table_triggers_retrain_and_prune(spark, tmp_path,
     assert retrained["n"] == 1, "partial table must not be served"
     assert again == trained
     # the committing write pruned nothing here (same table recommitted);
-    # now plant a stale uncommitted sibling and train a DIFFERENT key:
+    # now plant TWO uncommitted siblings — an old one (crashed writer)
+    # and a fresh one (concurrent writer mid-write, ADVICE r5) — and
+    # train a DIFFERENT key: only the old sibling may be pruned.
+    import time
     stale = root / "deadbeef_k8_i3"
     stale.mkdir()
     (stale / "part-00000.parquet").write_bytes(b"junk")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = root / "cafef00d_k8_i3"
+    fresh.mkdir()
+    (fresh / "part-00000.parquet").write_bytes(b"junk")
     sim.clear_centroid_cache()
     sim._ivf_centroids(spark, SF_DIR, iters=1)  # different key -> train+write
-    assert not stale.exists(), "uncommitted sibling must be pruned"
+    assert not stale.exists(), "old uncommitted sibling must be pruned"
+    assert fresh.exists(), "fresh (possibly mid-write) sibling must survive"
     assert (table / "_SUCCESS").exists(), "committed tables stay live"
 
 
