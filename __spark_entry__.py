@@ -112,21 +112,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
     # The driver samples at most 50 queries, in registration order. Lead
-    # with (a) the 17 ops that had never received a driver CORRECTNESS
-    # row through r4 and (b) the 3 r4 hash-mismatch rows whose oracle
-    # dtype bug was fixed in r5, so this round's sample covers exactly
-    # the least-proven claims (r4 verdict items #1 and #3).
+    # with every op whose SOURCE changed after its latest driver
+    # CORRECTNESS row (r5 verdict #1): the r5-touched similarity/simhash/
+    # multimodal families (their latest driver rows are r4, pre-change),
+    # the ops modified again in r6 (lm_perplexity driver-side lp6 table,
+    # corpus_report divide guard, decode_media fallback,
+    # substring_dup_pairs single-materialization, ann_lsh_pairs
+    # materialization switch), and the r5-new six to keep them proven.
     priority = [
-        "extract_documents", "extract_conversations", "curate_documents",
-        "curate_pdf_corpus",
-        "layout_boxes", "media_resize", "media_frame_sample",
-        "pii_scrub", "contamination_check", "stratified_sample",
-        "pack_chunks", "normalize_text", "pack_sequences",
-        "temperature_sample", "decontaminate_spans", "conversation_pack",
-        "holdout_split", "turn_role_stats",
-        "line_filter", "paragraph_dedup", "minhash_recall_report",
-        "substring_dup_pairs", "contamination_bloom", "lm_perplexity",
-        "dsir_weights", "corpus_report",
+        "simhash", "simhash_pairs", "semantic_dedup",
+        "ann_lsh_buckets", "ann_lsh_pairs", "ann_ivf_topk",
+        "embedding_near_dups", "embedding_near_dups_fast",
+        "curate_near_dups", "dedup_incremental",
+        "media_metadata", "media_features", "media_resize",
+        "media_frame_sample",
+        "curate_pdf_corpus", "substring_dup_pairs", "contamination_bloom",
+        "lm_perplexity", "dsir_weights", "corpus_report",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)

@@ -158,25 +158,55 @@ def skew_telemetry(spark, cpus: int) -> dict:
     # interleave (uniform, skewed) inside each rep so both variants of a
     # ratio share the box's noisy-neighbor phase — the same same-rep
     # estimator the scaling probe uses; cross-rep pairing once produced
-    # a nonsense ratio > 1.5 from phase drift between the variants
+    # a nonsense ratio > 1.5 from phase drift between the variants.
+    # Per-rep interleaved CPU controls + timestamps + phase_drift_max
+    # (the scaling section's rep_log treatment, VERDICT r5 #3): a rep
+    # whose two passes straddle a phase change (r5 recorded raw 1.785)
+    # is attributable in-artifact instead of hidden by the clamp. >= 3
+    # reps and a median raw alongside the clamped max; extra reps while
+    # the raw spread stays wild and the budget allows.
     best: dict[str, float] = {}
-    ratios = []
-    for _ in range(2):
+    ratios: list[float] = []
+    rep_log: list[dict] = []
+    one_pass("uniform")  # untimed warm pass per frame: rep 0 otherwise
+    one_pass("skewed")   # carries a systematic cold-plan bias
+    t_start = time.time()
+    for rep in range(5):
+        ctl_u = control_probe()
         u = one_pass("uniform")
+        ctl_s = control_probe()
         s = one_pass("skewed")
         best["uniform"] = max(best.get("uniform", 0.0), u)
         best["skewed"] = max(best.get("skewed", 0.0), s)
-        ratios.append(s / u)
+        ratios.append(round(s / u, 3))
+        rep_log.append({"rep": rep,
+                        "t_offset_s": round(time.time() - t_start, 1),
+                        "control_uniform_s": ctl_u,
+                        "control_skewed_s": ctl_s,
+                        "uniform_tps": round(u, 2),
+                        "skewed_tps": round(s, 2)})
+        if rep >= 2:
+            spread = max(ratios) / min(ratios)
+            if spread <= 1.15:
+                break
     for (df, _cnt) in frames.values():
         df.unpersist()
+    med = sorted(ratios)[len(ratios) // 2] if len(ratios) % 2 else round(
+        (sorted(ratios)[len(ratios) // 2 - 1]
+         + sorted(ratios)[len(ratios) // 2]) / 2, 3)
+    controls = [c for r in rep_log
+                for c in (r["control_uniform_s"], r["control_skewed_s"])]
     return {
         "giant_frac": 0.2,
         "uniform_tps": round(best["uniform"], 2),
         "skewed_tps": round(best["skewed"], 2),
         # clamp at 1.0 (skewed faster than uniform is a noise draw, not
-        # a claim); raw per-rep ratios published alongside, as scaling's
+        # a claim); raw per-rep ratios + median published alongside
         "skew_ratio": round(min(1.0, max(ratios)), 3),
-        "skew_ratios_raw": [round(r, 3) for r in ratios],
+        "skew_ratios_raw": ratios,
+        "median_skew_ratio": round(min(1.0, med), 3),
+        "rep_log": rep_log,
+        "phase_drift_max": round(max(controls) / min(controls), 2),
     }
 
 

@@ -50,6 +50,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SIG_MAT = "checkpoint"  # "cache" = A/B variant (tools/ab_ann.py)
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an intermediate frame reused by several plan
+    branches. Default is eager localCheckpoint (blocks freed by the
+    ContextCleaner when the frame is unreferenced); the "cache" variant
+    exists only for the perf A/B harness."""
+    if _SIG_MAT == "cache":
+        df = df.cache()
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def _emb(spark: SparkSession, sf_dir: str,
          parallel: bool = False) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -303,8 +318,10 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     # Eager localCheckpoint, not cache(): materialized for the caller's
     # action but not pinned in the CacheManager afterwards — the
     # ContextCleaner frees the blocks once the frame is unreferenced
-    # (r4 verdict #7 unpersist audit)
-    sigs = _lsh_sigs(spark, sf_dir, tables, bits).localCheckpoint(eager=True)
+    # (r4 verdict #7 unpersist audit). tools/ab_ann.py flips _SIG_MAT to
+    # "cache" for the interleaved A/B that cleared this choice of any
+    # bench-regression blame (BASELINE.md round-6 notes).
+    sigs = _materialize(_lsh_sigs(spark, sf_dir, tables, bits))
     a = sigs.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     b = sigs.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
     cand = (

@@ -860,7 +860,13 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_SUBSTR_MAX_DF`` windows are corpus boilerplate whose g^2 bucket
     blow-up this cap removes (they belong to ``docfreq_boilerplate``,
     not a dup verdict). Bucket sizes are therefore bounded by the cap,
-    never by corpus size."""
+    never by corpus size.
+
+    The (doc_id, window-hash) frame is materialized ONCE (eager
+    localCheckpoint, the dedup_minhash_pairs pattern) and feeds the df
+    gate and both self-join sides — the r5 plan rebuilt the stride-1
+    explode 4x (one corpus scan per consumer), invisible at sf0.1 but
+    4x the most expensive Generate at 100 TB (VERDICT r5 plan audit)."""
     d = _docs(spark, sf_dir, parallel=True)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                      lambda w: w != "")
@@ -872,11 +878,15 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(words, i, _SUBSTR_W),
                                          " ")))),
     ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = (d.select("doc_id", F.explode(grams).alias("gram"))
+         .localCheckpoint(eager=True))
     dup_grams = (g.groupBy("gram").agg(F.count("*").alias("df"))
                  .where((F.col("df") > 1) & (F.col("df") <= _SUBSTR_MAX_DF))
                  .select("gram"))
-    elig = g.join(dup_grams, "gram")
+    # the eligible frame is ALSO materialized once: it is bounded (df-
+    # capped windows only) and both self-join sides read it, so the df
+    # gate runs exactly once instead of once per side
+    elig = g.join(dup_grams, "gram").localCheckpoint(eager=True)
     a = elig.select(F.col("doc_id").alias("id_a"), "gram")
     b = elig.select(F.col("doc_id").alias("id_b"), "gram")
     return (a.join(b, "gram")
