@@ -273,9 +273,17 @@ class PdfDocument:
             raise NoValidXRef("startxref position missing")
         return int(prev)
 
-    def read_xref_from(self, start: int, xrefs: list) -> None:
+    def read_xref_from(self, start: int, xrefs: list,
+                       _seen: set | None = None) -> None:
         if start < 0 or start >= len(self.buf):
             raise NoValidXRef("bad xref offset %d" % start)
+        # hostile /Prev (or /XRefStm) chains can cycle — a section offset
+        # is followed at most once (tests/test_hostile_pdfs.py)
+        if _seen is None:
+            _seen = set()
+        if start in _seen:
+            return
+        _seen.add(start)
         self.parser.seek(start)
         try:
             (pos, token) = self.parser.next_token()
@@ -294,9 +302,11 @@ class PdfDocument:
         xrefs.append(xref)
         trailer = xref.get_trailer()
         if "XRefStm" in trailer:
-            self.read_xref_from(int_value(resolve1(trailer["XRefStm"])), xrefs)
+            self.read_xref_from(int_value(resolve1(trailer["XRefStm"])),
+                                xrefs, _seen)
         if "Prev" in trailer:
-            self.read_xref_from(int_value(resolve1(trailer["Prev"])), xrefs)
+            self.read_xref_from(int_value(resolve1(trailer["Prev"])),
+                                xrefs, _seen)
 
     def _run_fallback_scan(self) -> None:
         """Forward scan for ``N G obj`` cues. The reference runs this for

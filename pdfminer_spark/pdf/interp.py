@@ -671,7 +671,13 @@ class Interpreter:
             return
         xobj = stream_value(resolve1(xobj))
         subtype = resolve1(xobj.get("Subtype"))
-        if literal_name(subtype) == "Form" and "BBox" in xobj:
+        # explicit nesting cap: a self-/cyclically-referencing Form
+        # XObject must terminate cleanly, not ride Python's recursion
+        # limit down in a worker (the reference has no guard and
+        # RecursionErrors on such input, tools/diff_fuzz.py hostile set).
+        # 64 is deeper than any legitimate document's form nesting.
+        if literal_name(subtype) == "Form" and "BBox" in xobj \
+                and len(self._fig_stack) < 64:
             bbox = list_value(resolve1(xobj["BBox"]))
             matrix = list_value(resolve1(xobj.get("Matrix", MATRIX_IDENTITY)))
             resources = dict_value(resolve1(xobj.get("Resources"))) or \
