@@ -29,7 +29,7 @@ _DROP_TAGS = {"script", "style", "noscript", "svg", "template", "head",
 _CHROME_TAGS = {"nav", "header", "footer", "aside"}
 _CHROME_HINT = re.compile(
     r"(?:^|[-_ ])(nav|menu|footer|header|sidebar|breadcrumb|banner|advert|"
-    r"ads?|cookie|social|share|comment)(?:$|[-_ ])", re.I)
+    r"ads?|cookie|social|share|comment)s?(?:$|[-_ ])", re.I)
 
 _WS = re.compile(r"\s+")
 

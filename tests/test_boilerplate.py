@@ -2,6 +2,8 @@
 FIXTURES.md §4)."""
 import random
 
+import pytest
+
 from pdfminer_spark.html.boilerplate import extract_main_text
 from pdfminer_spark.spark.fixtures import _html_payload
 
@@ -48,3 +50,73 @@ def test_chrome_class_hints():
 def test_malformed_html_degrades():
     out = extract_main_text("<p>hello <b>world")
     assert "hello" in out and "world" in out
+
+
+# -- round-6 realism fixtures (VERDICT r5 #8) --------------------------------
+# Five hand-built realistic pages under fixtures/html/: an old-school
+# nested-table news layout, a blog post with inline scripts/styles +
+# cookie banner + share widgets, an article with an in-article TOC nav,
+# a forum thread with breadcrumbs + a comment section, and a docs page
+# with a sidebar menu + code + figcaption. Each golden was written by
+# judging every block as main-content or chrome BEFORE pinning; content
+# assertions below re-state the judgment so the goldens cannot silently
+# drift into "whatever the extractor says".
+
+import os
+
+_HTML_FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures", "html")
+
+_REALISM = {
+    "news_nested_tables": {
+        "must_keep": ["transit expansion", "North rail extension",
+                      "ridership numbers"],
+        "must_drop": ["Daily Herald", "Subscribe", "Shop local deals",
+                      "copyright", "Mayor unveils budget"],
+    },
+    "blog_scripts_widgets": {
+        "must_keep": ["table driven state machine",
+                      "state = TABLE[state][token.kind]",
+                      "ninety lines"],
+        "must_drop": ["cookies", "Tweet", "analytics", "rss",
+                      "querySelectorAll"],
+    },
+    "article_with_toc_nav": {
+        "must_keep": ["run and pause gait", "touch sensitive bills",
+                      "longest nonstop flights"],
+        "must_drop": ["Birdwatch", "Forum", "contact"],
+    },
+    "forum_comment_thread": {
+        "must_keep": ["spill to disk", "rule of thumb"],
+        "must_drop": ["SparkForum", "breadcrumbs", "Home >", "rdd_fan",
+                      "adaptive query execution", "powered by forumware"],
+    },
+    "docs_sidebar_code": {
+        "must_keep": ["configure({retries: 3, timeout_ms: 2500})",
+                      "Option resolution order",
+                      "typos surface at startup"],
+        "must_drop": ["teardown", "edit this page", "api/configure"],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(_REALISM))
+def test_realistic_page_golden(name):
+    html = open(os.path.join(_HTML_FIX, name + ".html")).read()
+    expected = open(os.path.join(_HTML_FIX, name + ".expected.txt")).read()
+    out = extract_main_text(html)
+    assert out == expected
+    for frag in _REALISM[name]["must_keep"]:
+        assert frag in out, f"{name}: main content lost: {frag!r}"
+    for frag in _REALISM[name]["must_drop"]:
+        assert frag not in out, f"{name}: chrome leaked: {frag!r}"
+
+
+def test_plural_chrome_class_hints():
+    """class="breadcrumbs"/"comments" (plural) are chrome — the r6
+    realism set caught the singular-only hint regex."""
+    html = ("<body><div class='breadcrumbs'><a href='/'>Home</a> &gt; "
+            "<a href='/q'>Questions</a> &gt; tuning</div>"
+            "<p>body text with plenty of words to keep here</p></body>")
+    out = extract_main_text(html)
+    assert "Home" not in out and "tuning" not in out
+    assert "body text" in out
