@@ -38,23 +38,21 @@ def test_oracle_check_tool_covers_all_queries():
     assert sorted(default_names) == sorted(qs)
 
 
-def test_queries_lead_with_never_driver_sampled_ops():
-    """r4 verdict #3: the driver checks at most 50 queries in
-    registration order; the 17 never-sampled ops plus the 3 r4
-    hash-mismatch queries must come first so round 5's sample covers
-    the least-proven claims. Guard the ordering (and that no priority
+def test_queries_lead_with_stale_driver_row_ops():
+    """r5 verdict #1: the driver checks at most 50 queries in
+    registration order; every op whose SOURCE changed after its latest
+    driver CORRECTNESS row must come first so this round's sample
+    re-proves changed code. Guard the ordering (and that no priority
     name is a typo that silently drops out of the dict comprehension)."""
     expected_head = [
-        "extract_documents", "extract_conversations", "curate_documents",
-        "curate_pdf_corpus",
-        "layout_boxes", "media_resize", "media_frame_sample",
-        "pii_scrub", "contamination_check", "stratified_sample",
-        "pack_chunks", "normalize_text", "pack_sequences",
-        "temperature_sample", "decontaminate_spans", "conversation_pack",
-        "holdout_split", "turn_role_stats",
-        "line_filter", "paragraph_dedup", "minhash_recall_report",
-        "substring_dup_pairs", "contamination_bloom", "lm_perplexity",
-        "dsir_weights", "corpus_report",
+        "simhash", "simhash_pairs", "semantic_dedup",
+        "ann_lsh_buckets", "ann_lsh_pairs", "ann_ivf_topk",
+        "embedding_near_dups", "embedding_near_dups_fast",
+        "curate_near_dups", "dedup_incremental",
+        "media_metadata", "media_features", "media_resize",
+        "media_frame_sample",
+        "curate_pdf_corpus", "substring_dup_pairs", "contamination_bloom",
+        "lm_perplexity", "dsir_weights", "corpus_report",
     ]
     names = list(entry.queries())
     assert names[:len(expected_head)] == expected_head

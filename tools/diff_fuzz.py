@@ -127,7 +127,44 @@ def ref_out(data: bytes, xml: bool, la_kwargs: dict | None = None,
     return out.getvalue()
 
 
+def hostile() -> int:
+    """--hostile: the adversarial construct set (VERDICT r5 #6) through
+    the in-UDF extraction boundary under a wall cap — every payload must
+    come back as an ok/error:* status, never a hang, RecursionError or
+    crash. The fixture builders live with their pytest
+    (tests/test_hostile_pdfs.py); this mode is the batch-report runner."""
+    import time
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_hostile_pdfs import HOSTILE, WALL_CAP
+
+    from pdfminer_spark.spark.pipeline import extract_one
+
+    bad = 0
+    for (name, fn) in sorted(HOSTILE.items()):
+        t0 = time.time()
+        try:
+            (_text, n_pages, _nb, _by, status) = extract_one(
+                "", "pdf", pdf_bytes=fn())
+        except Exception as e:  # must be impossible: boundary swallows
+            print(f"{name}: ESCAPED {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        wall = time.time() - t0
+        ok = (wall < WALL_CAP
+              and (status == "ok" or status.startswith("error:"))
+              and status != "error:RecursionError")
+        if not ok:
+            bad += 1
+        print(f"{name}: {status} pages={n_pages} wall={wall:.2f}s"
+              f"{'' if ok else '  <-- FAIL'}")
+    print(f"{len(HOSTILE)} hostile constructs, {bad} failures")
+    return 1 if bad else 0
+
+
 def main() -> int:
+    if "--hostile" in sys.argv:
+        return hostile()
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     from pdfminer_spark.pdf.extract import extract_text
