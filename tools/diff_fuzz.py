@@ -162,9 +162,62 @@ def hostile() -> int:
     return 1 if bad else 0
 
 
+def mutate(iters: int, seed: int) -> int:
+    """--mutate N [seed]: mutational robustness fuzz. Generate a valid
+    random PDF, corrupt 1-16 random bytes (or truncate / splice), and
+    drive it through the in-UDF extraction boundary: every mutant must
+    come back ok/error:* within the wall cap — no hang, no crash, no
+    RecursionError. Complements --hostile (hand-built constructs) with
+    breadth: random damage lands in the lexer, xref, filters, fonts."""
+    import time
+
+    from pdfminer_spark.spark.pipeline import extract_one
+
+    from gen_testpdfs import basic
+
+    rng = random.Random(seed)
+    bad = 0
+    worst = 0.0
+    for i in range(iters):
+        pdf = bytearray(basic(rand_content(rng),
+                              rotate=rng.choice([0, 90, 180, 270])))
+        kind = rng.random()
+        if kind < 0.7:  # byte corruption
+            for _ in range(rng.randint(1, 16)):
+                pdf[rng.randrange(len(pdf))] = rng.randrange(256)
+        elif kind < 0.85:  # truncation
+            del pdf[rng.randrange(1, len(pdf)):]
+        else:  # splice a random chunk over a random position
+            src = rng.randrange(len(pdf))
+            dst = rng.randrange(len(pdf))
+            ln = rng.randint(4, 256)
+            pdf[dst:dst + ln] = pdf[src:src + ln]
+        t0 = time.time()
+        try:
+            (_t, _p, _b, _y, status) = extract_one(
+                "", "pdf", pdf_bytes=bytes(pdf))
+        except Exception as e:
+            print(f"[{i}] ESCAPED {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        wall = time.time() - t0
+        worst = max(worst, wall)
+        if wall > 30.0 or status == "error:RecursionError":
+            print(f"[{i}] {status} wall={wall:.1f}s <-- FAIL")
+            with open(f"/tmp/mutfuzz_fail_{i}.pdf", "wb") as fp:
+                fp.write(bytes(pdf))
+            bad += 1
+    print(f"{iters} mutants, {bad} failures, worst wall {worst:.2f}s")
+    return 1 if bad else 0
+
+
 def main() -> int:
     if "--hostile" in sys.argv:
         return hostile()
+    if "--mutate" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        return mutate(int(args[0]) if args else 2000,
+                      int(args[1]) if len(args) > 1 else 42)
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
     from pdfminer_spark.pdf.extract import extract_text
