@@ -245,7 +245,9 @@ class Interpreter:
             except Exception:
                 break
             if obj.__class__ is Keyword:
-                b = bytes(obj)
+                # Keyword is an interned bytes subclass: compare/dispatch on
+                # the token itself, no per-keyword bytes() copy
+                b = obj
                 if b == b"[":
                     ctx.append(cur)
                     kinds.append("a")
@@ -652,8 +654,13 @@ class Interpreter:
             bur = (adv, ty + height)
         (a, b, c, d, e, f) = matrix
         upright = 0 < a * d * scaling and b * c <= 0
-        (x0, y0) = apply_matrix_pt(matrix, bll)
-        (x1, y1) = apply_matrix_pt(matrix, bur)
+        # apply_matrix_pt inlined: two calls per char on the hottest path
+        (px, py) = bll
+        x0 = a * px + c * py + e
+        y0 = b * px + d * py + f
+        (px, py) = bur
+        x1 = a * px + c * py + e
+        y1 = b * px + d * py + f
         if x1 < x0:
             (x0, x1) = (x1, x0)
         if y1 < y0:

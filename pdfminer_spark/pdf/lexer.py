@@ -41,6 +41,11 @@ _FAST = re.compile(
     # well-formed hex string; '<<' cannot match ('>' required) and falls
     # through to the slow path's dict-begin rule
     rb"|<(?P<h>[0-9a-fA-F \t\n\r\f\v]*)>"
+    # escape-free, paren-free literal string: content is byte-literal per
+    # PDF 7.3.4.2 (only '\' escapes and nested parens need the slow path)
+    rb"|\((?P<s>[^()\\]*)\)"
+    # array brackets: the hottest single-byte tokens in TJ-heavy content
+    rb"|(?P<b>[\[\]])"
     rb")")
 _END_LITERAL = re.compile(rb"[#/%\[\]()<>{}\s]")
 _END_NUMBER = re.compile(rb"[^0-9]")
@@ -119,27 +124,32 @@ class Lexer:
         m = _FAST.match(buf, i)
         if m is not None:
             self.pos = m.end()
-            g = m.group("i")
-            if g is not None:
+            # each _FAST alternative carries exactly one named group, so
+            # lastgroup IS the matched branch — one attribute read instead
+            # of probing up to 7 groups per token
+            which = m.lastgroup
+            g = m.group(which)
+            if which == "i":
                 return (m.start("i"), int(g))
-            g = m.group("f")
-            if g is not None:
+            if which == "f":
                 return (m.start("f"), float(g))
-            g = m.group("n")
-            if g is not None:
+            if which == "n":
                 try:
                     text = g.decode("utf-8")
                 except UnicodeDecodeError:
                     text = ""
                 return (m.start("n") - 1, Name(text))
-            g = m.group("k")
-            if g is not None:
+            if which == "k":
                 if g == b"true":
                     return (m.start("k"), True)
                 if g == b"false":
                     return (m.start("k"), False)
                 return (m.start("k"), KW(g))
-            g = m.group("h")
+            if which == "s":
+                return (m.start("s") - 1, g)
+            if which == "b":
+                return (m.start("b"),
+                        KW_ARRAY_BEGIN if g == b"[" else KW_ARRAY_END)
             return (m.start("h") - 1, _hexbytes(_WS_IN_HEX.sub(b"", g)))
         while True:
             m = _NONSPC.search(buf, i)
