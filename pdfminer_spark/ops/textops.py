@@ -398,6 +398,45 @@ def curate_near_dups(spark: SparkSession, sf_dir: str,
             .select("doc_id", F.md5("text").alias("content_hash")))
 
 
+def curate_near_dups_best(spark: SparkSession, sf_dir: str,
+                          threshold: float = _NEAR_DUP_EST) -> DataFrame:
+    """Quality-aware near-dup curation: same transitive duplicate
+    clusters as ``curate_near_dups``, but each cluster keeps its
+    HIGHEST-QUALITY member instead of the minimum doc_id — the rule
+    production corpus dedup actually ships (CCNet and the Gopher/
+    MassiveText pipelines keep the longest/best-scored copy, since
+    near-dup clusters mix full documents with their truncated or
+    boilerplate-injected variants). Quality key: word count desc, then
+    doc_id asc (deterministic tie-break); emitted so the oracle compare
+    pins the keep decision, not just the survivor set.
+
+    Scale shape: identical to curate_near_dups (banded candidates ->
+    bounded CC) plus ONE window over the dup-graph nodes only —
+    partitioned by component rep, never corpus-wide — and the same
+    AQE-chosen anti join for the kill set."""
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    sim = (pairs.where(F.col("est_jaccard") >= threshold)
+           .select("id_a", "id_b"))
+    edges = (sim.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(sim.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst"))))
+    rep = _cc_min_label(edges)
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""))
+    scored = d.select("doc_id", n_words.alias("n_words"),
+                      F.md5("text").alias("content_hash"))
+    graph = rep.join(scored.withColumnRenamed("doc_id", "id"), "id")
+    w = Window.partitionBy("rep").orderBy(F.col("n_words").desc(),
+                                          F.col("id").asc())
+    kill = (graph.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") > 1)
+            .select(F.col("id").alias("doc_id")))
+    return scored.join(kill, "doc_id", "left_anti")
+
+
 # -- incremental dedup --------------------------------------------------------------
 
 _INC_NEW_MOD = 10  # doc_id % 10 == 9 plays the "newly arrived batch"
@@ -1021,6 +1060,47 @@ ORACLES: dict[str, str] = {
     """ % (" + ".join(
         "CASE WHEN sa.sig%d = sb.sig%d THEN 1 ELSE 0 END" % (j, j)
         for j in range(_N_PERMS)), _N_PERMS),
+    # same clusters, quality-aware keep: every cluster keeps its longest
+    # member (word count desc, doc_id asc) instead of its minimum id
+    "curate_near_dups_best": _BANDS_CTE.replace(
+        "WITH words", "WITH RECURSIVE words", 1) + """, cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id
+        ), sim AS (
+          SELECT id_a, id_b
+          FROM cand JOIN sigs sa ON sa.doc_id = id_a
+                    JOIN sigs sb ON sb.doc_id = id_b
+          WHERE ROUND((%s)::DOUBLE / %d, 4) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sim
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM sim
+        ), reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ), comp AS (
+          SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+        ), nw AS (
+          SELECT doc_id, LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS n_words
+          FROM documents
+        ), kill AS (
+          SELECT id AS doc_id
+          FROM (SELECT id, ROW_NUMBER() OVER (
+                  PARTITION BY rep
+                  ORDER BY n_words DESC, id ASC) AS rn
+                FROM comp JOIN nw ON nw.doc_id = comp.id)
+          WHERE rn > 1
+        )
+        SELECT d.doc_id, n.n_words, MD5(d.text) AS content_hash
+        FROM documents d JOIN nw n ON n.doc_id = d.doc_id
+        LEFT JOIN kill k ON d.doc_id = k.doc_id
+        WHERE k.doc_id IS NULL
+    """ % (" + ".join(
+        "CASE WHEN sa.sig%d = sb.sig%d THEN 1 ELSE 0 END" % (j, j)
+        for j in range(_N_PERMS)), _N_PERMS),
     "doc_fingerprint": """
         WITH toks AS (
           SELECT doc_id,
@@ -1326,6 +1406,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_incremental": dedup_incremental,
     "curate_near_dups": curate_near_dups,
+    "curate_near_dups_best": curate_near_dups_best,
     "simhash": simhash,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
