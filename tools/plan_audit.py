@@ -101,6 +101,10 @@ AUDITS = [
      "window md5 for the document-frequency gate; the pair self-join sees "
      "only df-in-(1,cap] windows, so bucket width is bounded by the cap, "
      "never by corpus size."),
+    ("curate_near_dups_best",
+     "banded candidates only (no all-pairs); the quality keep rule is "
+     "ONE window partitioned by component rep over dup-graph nodes; the "
+     "kill set leaves via an AQE-chosen anti join (no broadcast hint)."),
     ("contamination_bloom",
      "the Bloom is m/64 bit_or words aggregated to a ONE-ROW broadcast "
      "map; every probe is a map lookup + bitwise test, so the prefilter "
