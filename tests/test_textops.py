@@ -169,6 +169,35 @@ def test_curate_near_dups_chain_keeps_one_per_cluster(spark, tmp_path):
     assert kept == [0, 3]  # one survivor per cluster + the unrelated doc
 
 
+def test_curate_near_dups_best_keeps_longest(spark, tmp_path):
+    """Quality-aware variant: the same A~B~C chain cluster keeps its
+    LONGEST member (B = X+Z+Y, 86 words) — exactly the member the
+    min-id rule discards — while unrelated docs survive, and the two
+    rules agree on the survivor COUNT (one per cluster)."""
+    import pandas as pd
+
+    X = ["x%d" % i for i in range(30)]
+    Y = ["y%d" % i for i in range(30)]
+    Z = ["z%d" % i for i in range(26)]
+    rows = [(0, " ".join(X + Z)), (1, " ".join(X + Z + Y)),
+            (2, " ".join(Z + Y)),
+            (3, " ".join("u%d" % i for i in range(30)))]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    from pdfminer_spark.ops.textops import (curate_near_dups,
+                                            curate_near_dups_best)
+
+    best = {r["doc_id"]: r["n_words"] for r in
+            curate_near_dups_best(spark, str(tmp_path), threshold=0.45)
+            .collect()}
+    assert sorted(best) == [1, 3]       # longest cluster member + unrelated
+    assert best[1] == 86
+    minid = sorted(r["doc_id"] for r in
+                   curate_near_dups(spark, str(tmp_path), threshold=0.45)
+                   .collect())
+    assert len(minid) == len(best)      # same cluster structure
+
+
 def test_curate_near_dups_cluster_representative(spark):
     """Near-dup removal keeps the minimum doc_id of every duplicate
     component (so the higher id of any J>=0.8 pair is always removed)
