@@ -128,6 +128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample",
         "curate_pdf_corpus", "substring_dup_pairs", "contamination_bloom",
         "lm_perplexity", "dsir_weights", "corpus_report",
+        # r6 touched the extraction engine itself (lexer fast paths,
+        # interp dispatch) and added one op — the extraction-family
+        # queries and the new op need fresh driver rows too
+        "extract_documents", "extract_conversations", "curate_documents",
+        "layout_boxes", "curate_near_dups_best",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)

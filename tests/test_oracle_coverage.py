@@ -53,6 +53,8 @@ def test_queries_lead_with_stale_driver_row_ops():
         "media_frame_sample",
         "curate_pdf_corpus", "substring_dup_pairs", "contamination_bloom",
         "lm_perplexity", "dsir_weights", "corpus_report",
+        "extract_documents", "extract_conversations", "curate_documents",
+        "layout_boxes", "curate_near_dups_best",
     ]
     names = list(entry.queries())
     assert names[:len(expected_head)] == expected_head
