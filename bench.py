@@ -65,7 +65,18 @@ def run_extraction(spark, cpus: int) -> tuple[float, int]:
     return (best, n)
 
 
-def run_headline_queries(spark) -> dict[str, float]:
+# the most expensive queries get the interleaved-CPU-control treatment
+# (r6 verdict #2): 3 timed reps each preceded by a control probe, so an
+# outlier (r6 driver saw curate_pdf_corpus at 2x its solo time) is
+# attributable to a box phase INSIDE the artifact instead of by
+# cross-referencing solo runs
+_CONTROLLED = {
+    "curate_pdf_corpus", "extract_documents", "substring_dup_pairs",
+    "ann_ivf_topk", "tfidf_keywords", "simhash_pairs",
+}
+
+
+def run_headline_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
     import __spark_entry__ as entry
 
     names = [
@@ -79,18 +90,43 @@ def run_headline_queries(spark) -> dict[str, float]:
         "embedding_quantize", "curate_pdf_corpus", "substring_dup_pairs",
     ]
     qs = entry.queries()
-    out = {}
+    out: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
         # warm pass absorbs one-time costs (codegen compile, file
         # listing) that vanish at job scale; caches are dropped so the
         # timed pass still computes the full plan
         qs[name](spark, SF_DIR).count()
         spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-    return out
+        reps = 3 if name in _CONTROLLED else 1
+        times: list[float] = []
+        ctls: list[float] = []
+        for _ in range(reps):
+            if name in _CONTROLLED:
+                ctls.append(control_probe())
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            times.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        out[name] = min(times)
+        if ctls:
+            detail[name] = {"times": times, "controls": ctls,
+                            "drift": round(max(ctls) / min(ctls), 2)}
+    return (out, detail)
+
+
+def normalize_controlled(detail: dict[str, dict],
+                         ctl_floor: float) -> dict[str, float]:
+    """Control-normalized seconds for the controlled queries: each timed
+    rep is scaled by (clean-phase control / its own control) and the best
+    scaled rep wins — a rep measured during a 2x-slow box phase is pulled
+    back to clean-phase terms by its own in-artifact evidence."""
+    norm: dict[str, float] = {}
+    for (name, d) in detail.items():
+        scaled = [t * (ctl_floor / c)
+                  for (t, c) in zip(d["times"], d["controls"])]
+        norm[name] = round(min(scaled), 3)
+    return norm
 
 
 def candidate_telemetry(spark) -> dict:
@@ -247,7 +283,7 @@ def main() -> None:
 
     spark = fresh_session(CPUS)
     (extract_s, n_turns) = run_extraction(spark, CPUS)
-    queries = run_headline_queries(spark)
+    (queries, q_detail) = run_headline_queries(spark)
     queries["extract_turns"] = round(extract_s, 3)
     tps = n_turns / extract_s if extract_s else 0.0
     result.update({
@@ -256,6 +292,7 @@ def main() -> None:
         "n_turns": n_turns,
         "cpus": CPUS,
         "queries": queries,
+        "query_controls": q_detail,
         "candidate_rates": candidate_telemetry(spark),
         "skew": skew_telemetry(spark, CPUS),
     })
@@ -337,7 +374,50 @@ def main() -> None:
             else None,
         }
 
-    print(json.dumps(result))
+    # Round-6's driver artifact captured only the TAIL of the (single,
+    # telemetry-laden) result line and came back parsed:null — the one
+    # non-self-reported perf record of the round was lost to artifact
+    # growth (r6 verdict #1). The full detail therefore goes to a
+    # sidecar file AND an early stdout line, and the FINAL stdout line
+    # is a compact summary: headline + per-query seconds + control-
+    # normalized times + gate values only (~1 KB, well inside any
+    # tail-capture window).
+    all_ctls = [c for d in result.get("query_controls", {}).values()
+                for c in d["controls"]]
+    for sec in ("skew", "scaling"):
+        all_ctls += [v for r in result.get(sec, {}).get("rep_log", [])
+                     for (k, v) in r.items() if k.startswith("control")]
+    ctl_floor = min(all_ctls) if all_ctls else 1.0
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "n_turns": result["n_turns"],
+        "queries": result["queries"],
+        "queries_norm": normalize_controlled(
+            result["query_controls"], ctl_floor),
+        "ctl_floor_s": round(ctl_floor, 4),
+        "rates": {k: result["candidate_rates"][k]
+                  for k in ("minhash_rate", "simhash_rate", "lsh_rate")},
+        "skew_ratio": result["skew"]["skew_ratio"],
+        "median_skew_ratio": result["skew"]["median_skew_ratio"],
+        "detail": "BENCH_detail.json",
+    }
+    if "scaling" in result:
+        compact["scaling"] = {
+            k: result["scaling"][k]
+            for k in ("efficiency", "median_efficiency",
+                      "turns_per_sec_n", "turns_per_sec_4n")}
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(here, "BENCH_detail.json"))
+    with open(detail_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps({"bench_detail": result}))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -145,23 +145,38 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(ln(p) * 1e6) as BIGINT) before aggregation — integer sums
     are exact and order-independent. The (count -> lp6) table is built
     ON THE DRIVER with CPython math.log (the dsir_weights precedent):
-    Spark's Log compiles to JVM StrictMath.log (fdlibm) while DuckDB
-    uses glibc LN — they differ by an ulp often enough to flip a FLOOR
-    at a 1e-6 boundary, so both engines are instead handed the same
-    glibc-computed table (CPython and DuckDB share libm). The table is
-    bounded: one row per DISTINCT token frequency, O(sqrt(N)) rows.
-    The 4-decimal mean rounds in INTEGER micro-units (half away from
-    zero via (2*|s6| + 100n) div (200n)) — Spark's float round() goes
-    through BigDecimal shortest-string while DuckDB rounds the raw
-    double; they disagree exactly at displayed .5 boundaries.
+    Spark's Log compiles to JVM StrictMath.log (fdlibm) which differs
+    from glibc by an ulp often enough to flip a FLOOR at a 1e-6
+    boundary. Residual assumption (the DuckDB oracle recomputes LN
+    itself): DuckDB's LN must bit-match CPython's math.log at the
+    floor(*1e6) boundaries — both link glibc libm, and they have
+    matched on every tested frequency bucket; a platform where they
+    diverge would show as an oracle hash mismatch, not silent error.
+    The table is bounded: one row per DISTINCT token frequency,
+    O(sqrt(N)) rows. The 4-decimal mean rounds in INTEGER micro-units
+    (half away from zero via (2*|s6| + 100n) div (200n)) — Spark's
+    float round() goes through BigDecimal shortest-string while DuckDB
+    rounds the raw double; they disagree exactly at displayed .5
+    boundaries.
 
     Scale: two count aggregates (token explode is map-side), the
     log-prob table broadcasts (vocabulary-sized), the per-doc score is
-    one groupBy. The global head/middle/tail split is a single-column
-    NTILE — at corpus scale that ranking is computed once per snapshot
-    (CCNet does exactly this with its percentile cutoffs); swap in
-    approx percentile cutoffs when one partition cannot hold the
-    (doc_id, score) pairs."""
+    one groupBy. The head/middle/tail split is VALUE-CUTOFF based
+    (r6 verdict #3 — the previous global NTILE(3) was the one
+    corpus-wide single-partition window left in any registered op):
+    scores are 4-decimal quantized and bounded below by
+    ln(1/(n_tokens+vocab)) > -30 at any conceivable corpus size, so
+    the DISTINCT score histogram holds <= ~3e5 rows no matter how many
+    documents exist. The histogram is collected (bounded driver
+    round-trip, same discipline as the lp6/dsir tables), the two
+    NTILE-sized boundary cutoffs are computed in Python, and bucketing
+    is a map-side CASE against two broadcast scalar literals — no
+    global sort, no corpus-wide window. Divergence from exact NTILE:
+    documents TIED on the boundary score all take the higher bucket
+    (NTILE would split them by doc_id); the tie rule is deterministic,
+    expressed identically in the oracle, and accuracy-asserted against
+    exact NTILE in pytest (agreement everywhere except boundary
+    ties)."""
     import math
 
     d = _docs(spark, sf_dir)
@@ -169,8 +184,8 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     # BOUNDED driver round-trip: one row per distinct token frequency
     # (O(sqrt(N)) by sum-of-counts), from which n and v also follow —
-    # then the lp6 table is computed with CPython's glibc log so Spark
-    # and DuckDB see byte-identical quantized log-probs by construction.
+    # then the lp6 table is computed with CPython's glibc log (see the
+    # residual-assumption note above for the oracle side).
     freq = (counts.groupBy("c").agg(F.count("*").alias("m")).collect())
     n = sum(r["c"] * r["m"] for r in freq)
     v = sum(r["m"] for r in freq)
@@ -190,13 +205,42 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(sign(s6) as bigint)"
         " * ((2 * abs(s6) + 100 * n_tokens) div (200 * n_tokens))"
     ).cast("double") / F.lit(10000.0)
-    w = Window.orderBy(F.col("mean_logprob").desc(), F.col("doc_id"))
-    bucket = F.element_at(
-        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-        F.ntile(3).over(w))
-    return (scored.select("doc_id", "n_tokens",
-                          mean_lp.alias("mean_logprob"))
-            .withColumn("ppl_bucket", bucket))
+    scored = scored.select("doc_id", "n_tokens",
+                           mean_lp.alias("mean_logprob"))
+    (c1, c2) = _ppl_cutoffs(scored)
+    bucket = (F.when(F.col("mean_logprob") >= F.lit(c1), "head")
+              .when(F.col("mean_logprob") >= F.lit(c2), "middle")
+              .otherwise("tail"))
+    return scored.withColumn("ppl_bucket", bucket)
+
+
+def _ppl_cutoffs(scored: DataFrame) -> tuple[float, float]:
+    """Head/middle cutoff scores from the bounded score histogram.
+
+    NTILE-sized buckets over DISTINCT scores ordered desc: a distinct
+    score whose preceding cumulative count is < s1 is head, < s1+s2 is
+    middle, else tail (s1 >= s2 >= s3 the exact NTILE(3) bucket sizes).
+    Because bucket is monotone in score, the whole assignment reduces
+    to two cutoff scalars: c1 = min head score, c2 = min middle score
+    (c2 = c1 when the middle bucket is empty, making its CASE branch
+    unreachable, ditto tail). Returns (+inf, +inf) for an empty input
+    so every branch falls through consistently (no rows anyway)."""
+    hist = (scored.groupBy("mean_logprob").count()
+            .orderBy(F.col("mean_logprob").desc())
+            .collect())  # bounded: <= ~3e5 distinct quantized scores
+    n_docs = sum(r["count"] for r in hist)
+    if n_docs == 0:
+        return (float("inf"), float("inf"))
+    s1 = n_docs // 3 + (1 if n_docs % 3 >= 1 else 0)
+    s2 = n_docs // 3 + (1 if n_docs % 3 >= 2 else 0)
+    (c1, c2, cum_prev) = (None, None, 0)
+    for r in hist:
+        if cum_prev < s1:
+            c1 = r["mean_logprob"]
+        elif cum_prev < s1 + s2:
+            c2 = r["mean_logprob"]
+        cum_prev += r["count"]
+    return (c1, c2 if c2 is not None else c1)
 
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,15 +533,37 @@ ORACLES["lm_perplexity"] = f"""
     ), s AS (
       SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp6)::BIGINT AS s6
       FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    ), sc AS (
+      SELECT doc_id, n_tokens,
+             (SIGN(s6)::BIGINT * ((2 * ABS(s6) + 100 * n_tokens)
+               // (200 * n_tokens)))::DOUBLE / 10000 AS mean_logprob
+      FROM s
+    ), hist AS (
+      SELECT mean_logprob AS scv, COUNT(*) AS m FROM sc GROUP BY scv
+    ), cum AS (
+      SELECT scv,
+             COALESCE(SUM(m) OVER (ORDER BY scv DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM hist
+    ), sz AS (
+      SELECT COUNT(*) // 3
+               + CASE WHEN COUNT(*) % 3 >= 1 THEN 1 ELSE 0 END AS s1,
+             COUNT(*) // 3
+               + CASE WHEN COUNT(*) % 3 >= 2 THEN 1 ELSE 0 END AS s2
+      FROM sc
+    ), bmap AS (
+      -- same value-cutoff rule as the Spark op (_ppl_cutoffs): NTILE-
+      -- sized buckets over DISTINCT scores desc; boundary ties all
+      -- take the higher bucket
+      SELECT scv,
+             CASE WHEN cum_prev < s1 THEN 'head'
+                  WHEN cum_prev < s1 + s2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM cum, sz
     )
-    SELECT doc_id, n_tokens,
-           (SIGN(s6)::BIGINT * ((2 * ABS(s6) + 100 * n_tokens)
-             // (200 * n_tokens)))::DOUBLE / 10000 AS mean_logprob,
-           ['head', 'middle', 'tail'][NTILE(3) OVER (
-             ORDER BY (SIGN(s6)::BIGINT * ((2 * ABS(s6) + 100 * n_tokens)
-                        // (200 * n_tokens)))::DOUBLE / 10000 DESC,
-                      doc_id)] AS ppl_bucket
-    FROM s
+    SELECT doc_id, n_tokens, mean_logprob, ppl_bucket
+    FROM sc JOIN bmap ON sc.mean_logprob = bmap.scv
 """
 
 

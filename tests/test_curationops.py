@@ -217,6 +217,41 @@ def test_lm_perplexity_ranks_common_above_rare(spark, tmp_path):
     assert rows[0]["n_tokens"] == 30
 
 
+def test_lm_perplexity_cutoffs_agree_with_exact_ntile(spark):
+    """r6 verdict #3: the head/middle/tail split is now value-cutoff
+    based (no corpus-wide single-partition NTILE window in the plan).
+    Accuracy contract vs the exact NTILE(3) it replaced, asserted at
+    all three SFs: buckets agree on every document EXCEPT those tied on
+    a boundary score (where NTILE splits by doc_id but the cutoff rule
+    deterministically grants the higher bucket) — so any disagreeing
+    doc's score must appear in >= 2 distinct NTILE buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdfminer_spark.ops.curationops import lm_perplexity
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        out = lm_perplexity(spark, sf)
+        w = Window.orderBy(F.col("mean_logprob").desc(), F.col("doc_id"))
+        exact = out.select(
+            "doc_id", "mean_logprob", "ppl_bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.ntile(3).over(w)).alias("ntile_bucket"))
+        rows = exact.collect()
+        assert rows, sf
+        straddling = {s for s in {r["mean_logprob"] for r in rows}
+                      if len({r["ntile_bucket"] for r in rows
+                              if r["mean_logprob"] == s}) > 1}
+        disagree = [r for r in rows if r["ppl_bucket"] != r["ntile_bucket"]]
+        assert all(r["mean_logprob"] in straddling for r in disagree), \
+            (sf, disagree[:5])
+        # sanity: the top bucket exists and holds the best-scoring doc
+        best = max(rows, key=lambda r: (r["mean_logprob"], -r["doc_id"]))
+        assert best["ppl_bucket"] == "head", sf
+
+
 def test_corpus_report_components_are_consistent(spark):
     """The dashboard must agree with the operators it summarizes —
     recompute each component directly and compare."""

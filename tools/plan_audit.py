@@ -110,6 +110,12 @@ AUDITS = [
      "map; every probe is a map lookup + bitwise test, so the prefilter "
      "is entirely map-side (zero exchange of training grams) and only "
      "Bloom survivors reach the exact-confirm broadcast join."),
+    ("lm_perplexity",
+     "NO corpus-wide unpartitioned Window anywhere in the plan (r6 "
+     "verdict #3): the head/middle/tail split is a map-side CASE "
+     "against two driver-computed cutoff literals from the bounded "
+     "score histogram — scoring is explode + two hash aggregates with "
+     "broadcast joins for the lp6 table; no global sort, no NTILE."),
 ]
 
 def main() -> None:
