@@ -111,28 +111,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
-    # The driver samples at most 50 queries, in registration order. Lead
-    # with every op whose SOURCE changed after its latest driver
-    # CORRECTNESS row (r5 verdict #1): the r5-touched similarity/simhash/
-    # multimodal families (their latest driver rows are r4, pre-change),
-    # the ops modified again in r6 (lm_perplexity driver-side lp6 table,
-    # corpus_report divide guard, decode_media fallback,
-    # substring_dup_pairs single-materialization, ann_lsh_pairs
-    # materialization switch), and the r5-new six to keep them proven.
+    # The driver samples at most 50 queries, in registration order.
+    # Standing rule (r6 verdict #4): no op's driver CORRECTNESS row may
+    # age past 2 rounds — lead with (a) every op whose SOURCE changed
+    # this round and (b) the ops with the OLDEST driver rows. For r7:
+    # the 11 ops whose last driver row is r4, the 13 whose last row is
+    # r5, then the r7-touched ops (lm_perplexity cutoff swap,
+    # ann_lsh_pairs sig_mat kwarg, and the extraction family behind the
+    # interp/layout/pipeline truncation-flag change).
     priority = [
-        "simhash", "simhash_pairs", "semantic_dedup",
-        "ann_lsh_buckets", "ann_lsh_pairs", "ann_ivf_topk",
-        "embedding_near_dups", "embedding_near_dups_fast",
-        "curate_near_dups", "dedup_incremental",
-        "media_metadata", "media_features", "media_resize",
-        "media_frame_sample",
-        "curate_pdf_corpus", "substring_dup_pairs", "contamination_bloom",
-        "lm_perplexity", "dsir_weights", "corpus_report",
-        # r6 touched the extraction engine itself (lexer fast paths,
-        # interp dispatch) and added one op — the extraction-family
-        # queries and the new op need fresh driver rows too
+        # r4-stale
+        "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
+        "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
+        "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",
+        "embedding_clusters",
+        # r5-stale
+        "dedup_minhash_buckets", "dedup_minhash_pairs", "pii_scrub",
+        "contamination_check", "stratified_sample", "pack_chunks",
+        "normalize_text", "pack_sequences", "temperature_sample",
+        "decontaminate_spans", "conversation_pack", "holdout_split",
+        "turn_role_stats",
+        # r7 source-changed
+        "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
-        "layout_boxes", "curate_near_dups_best",
+        "layout_boxes", "curate_pdf_corpus",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)

@@ -366,15 +366,19 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no float-summation-order hazard. The quantized model table is
     computed ONCE on the driver (bounded: 1024 rows) with CPython's
     libm — Spark's JVM StrictMath.log differs from the glibc log DuckDB
-    uses by an ulp at floor boundaries. Deciles order by (rounded
-    weight, doc_id).
+    uses by an ulp at floor boundaries.
 
     Scale: bigram explode is map-side; two bucket-count aggregates over
     a fixed 1024-bucket space (tiny, broadcast); one per-doc groupBy.
-    The decile NTILE is the same once-per-snapshot global ranking note
-    as lm_perplexity."""
-    from pyspark.sql import Window
-
+    Deciles are VALUE-CUTOFF based like lm_perplexity's thirds (the r6
+    verdict's no-corpus-wide-window rule applied here too — this op's
+    global NTILE(10) was the same shape): log_weight is 4-decimal
+    quantized with |log ratio| bounded by the smoothed count range, so
+    the DISTINCT weight histogram is bounded at any corpus size; a
+    bounded driver round-trip assigns each distinct weight the decile
+    of its FIRST row under exact NTILE sizes (ties all take the better
+    decile — deterministic, mirrored in the oracle), and the
+    (weight -> decile) map broadcast-joins back. No global sort."""
     d = _docs(spark, sf_dir)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                      lambda w: w != "")
@@ -428,10 +432,38 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lw_e4 = F.expr(
         "CAST(sign(s6) AS BIGINT) * ((abs(s6) + 50) div 100)")
     log_w = lw_e4.cast("double") / F.lit(10000.0)
-    win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
-    return (scored.select("doc_id", "n_bigrams",
-                          log_w.alias("log_weight"))
-            .withColumn("weight_decile", F.ntile(10).over(win)))
+    scored = scored.select("doc_id", "n_bigrams",
+                           log_w.alias("log_weight"))
+    dmap = spark.createDataFrame(
+        _weight_deciles(scored) or [(0.0, 1)],
+        "log_weight double, weight_decile int")
+    return (scored.join(F.broadcast(dmap), "log_weight")
+            .select("doc_id", "n_bigrams", "log_weight", "weight_decile"))
+
+
+def _weight_deciles(scored: DataFrame) -> list[tuple[float, int]]:
+    """(distinct log_weight -> decile) map from the bounded histogram.
+
+    Exact NTILE(10) bucket boundaries B_j = j*q + min(j, rem) with
+    (q, rem) = divmod(n, 10); a distinct weight takes the decile of its
+    FIRST row, i.e. the smallest j with cum_prev < B_j, which closed-
+    form inverts to cum_prev // (q+1) + 1 inside the first rem buckets
+    and rem + (cum_prev - rem*(q+1)) // q + 1 after them. Pure integer
+    arithmetic — the oracle computes the identical formula in SQL."""
+    hist = (scored.groupBy("log_weight").count()
+            .orderBy(F.col("log_weight").desc())
+            .collect())  # bounded: 4-decimal-quantized, range-bounded
+    n = sum(r["count"] for r in hist)
+    (q, rem) = divmod(n, 10)
+    (rows, cum_prev) = ([], 0)
+    for r in hist:
+        if cum_prev < rem * (q + 1):
+            dec = cum_prev // (q + 1) + 1
+        else:
+            dec = rem + (cum_prev - rem * (q + 1)) // q + 1
+        rows.append((r["log_weight"], dec))
+        cum_prev += r["count"]
+    return rows
 
 
 
@@ -752,14 +784,34 @@ ORACLES["dsir_weights"] = """
       SELECT doc_id, COUNT(*) AS n_bigrams, SUM(w6)::BIGINT AS s6
       FROM occ JOIN ratios USING (b)
       WHERE NOT is_target GROUP BY doc_id
+    ), lw AS (
+      SELECT doc_id, n_bigrams,
+             (SIGN(s6)::BIGINT * ((ABS(s6) + 50) // 100))::DOUBLE / 10000
+               AS log_weight
+      FROM scored
+    ), hist AS (
+      SELECT log_weight AS lwv, COUNT(*) AS m FROM lw GROUP BY lwv
+    ), cum AS (
+      SELECT lwv,
+             COALESCE(SUM(m) OVER (ORDER BY lwv DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM hist
+    ), nn AS (
+      SELECT COUNT(*) // 10 AS q, COUNT(*) %% 10 AS rem FROM lw
+    ), bmap AS (
+      -- same value-cutoff decile rule as the Spark op (_weight_deciles):
+      -- a distinct weight takes the decile of its first row under exact
+      -- NTILE(10) sizes; ties all take the better decile
+      SELECT lwv,
+             CASE WHEN cum_prev < rem * (q + 1)
+                  THEN cum_prev // (q + 1) + 1
+                  ELSE rem + (cum_prev - rem * (q + 1)) // GREATEST(q, 1) + 1
+             END::INT AS weight_decile
+      FROM cum, nn
     )
-    SELECT doc_id, n_bigrams,
-           (SIGN(s6)::BIGINT * ((ABS(s6) + 50) // 100))::DOUBLE / 10000
-             AS log_weight,
-           NTILE(10) OVER (
-             ORDER BY (SIGN(s6)::BIGINT * ((ABS(s6) + 50) // 100))::DOUBLE
-                      / 10000 DESC, doc_id) AS weight_decile
-    FROM scored
+    SELECT doc_id, n_bigrams, log_weight, weight_decile
+    FROM lw JOIN bmap ON lw.log_weight = bmap.lwv
 """ % {"h": _hex2int_sql("hx", 1), "B": _DSIR_BUCKETS}
 
 ORACLES["conversation_pack"] = """

@@ -50,15 +50,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_SIG_MAT = "checkpoint"  # "cache" = A/B variant (tools/ab_ann.py)
-
-
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, variant: str = "checkpoint") -> DataFrame:
     """Eagerly materialize an intermediate frame reused by several plan
     branches. Default is eager localCheckpoint (blocks freed by the
     ContextCleaner when the frame is unreferenced); the "cache" variant
-    exists only for the perf A/B harness."""
-    if _SIG_MAT == "cache":
+    exists only for the perf A/B harness (tools/ab_ann.py), which passes
+    it EXPLICITLY per call — a mutable module global here once meant an
+    exception mid-A/B could leave the cache variant active process-wide
+    (ADVICE r6)."""
+    if variant == "cache":
         df = df.cache()
         df.count()
         return df
@@ -295,7 +295,8 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str,
 
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
                   tables: int = _LSH_TABLES,
-                  bits: int = _LSH_BITS) -> DataFrame:
+                  bits: int = _LSH_BITS,
+                  sig_mat: str = "checkpoint") -> DataFrame:
     """Candidate PAIRS from banded sign-LSH with the exact cosine.
 
     The 100 TB ANN join shape: per-(table, bucket) self-join emits only
@@ -318,10 +319,10 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     # Eager localCheckpoint, not cache(): materialized for the caller's
     # action but not pinned in the CacheManager afterwards — the
     # ContextCleaner frees the blocks once the frame is unreferenced
-    # (r4 verdict #7 unpersist audit). tools/ab_ann.py flips _SIG_MAT to
-    # "cache" for the interleaved A/B that cleared this choice of any
-    # bench-regression blame (BASELINE.md round-6 notes).
-    sigs = _materialize(_lsh_sigs(spark, sf_dir, tables, bits))
+    # (r4 verdict #7 unpersist audit). tools/ab_ann.py passes
+    # sig_mat="cache" for the interleaved A/B that cleared this choice
+    # of any bench-regression blame (BASELINE.md round-6 notes).
+    sigs = _materialize(_lsh_sigs(spark, sf_dir, tables, bits), sig_mat)
     a = sigs.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     b = sigs.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
     cand = (

@@ -142,6 +142,11 @@ class Interpreter:
         self.collect_shapes = collect_shapes
         self.cur_item = None
         self._fig_stack: list = []
+        # shared across sub-interpreters (like _fig_stack): counts Form
+        # XObject invocations dropped by the nesting cap in op_Do, so
+        # deep-nesting truncation is observable (ADVICE r6) — surfaced
+        # as status 'ok:truncated-forms' by the extraction pipeline
+        self._trunc = {"forms": 0}
         self.pageno = 1
 
     # -- resources ------------------------------------------------------------
@@ -207,7 +212,9 @@ class Interpreter:
         # XML golden prints this attribute)
         ltpage = Page(self.pageno, mediabox, 0)
         self.cur_item = ltpage
+        trunc_before = self._trunc["forms"]
         self.render_contents(page.resources, page.contents, ctm)
+        ltpage.truncated_forms = self._trunc["forms"] - trunc_before
         if self.laparams is not None:
             from .layout import analyze_container
 
@@ -682,9 +689,13 @@ class Interpreter:
         # XObject must terminate cleanly, not ride Python's recursion
         # limit down in a worker (the reference has no guard and
         # RecursionErrors on such input, tools/diff_fuzz.py hostile set).
-        # 64 is deeper than any legitimate document's form nesting.
-        if literal_name(subtype) == "Form" and "BBox" in xobj \
-                and len(self._fig_stack) < 64:
+        # 64 is deeper than any legitimate document's form nesting; a
+        # capped invocation is COUNTED (shared _trunc, ADVICE r6) so the
+        # truncation surfaces as status 'ok:truncated-forms' downstream.
+        if literal_name(subtype) == "Form" and "BBox" in xobj:
+            if len(self._fig_stack) >= 64:
+                self._trunc["forms"] += 1
+                return
             bbox = list_value(resolve1(xobj["BBox"]))
             matrix = list_value(resolve1(xobj.get("Matrix", MATRIX_IDENTITY)))
             resources = dict_value(resolve1(xobj.get("Resources"))) or \
@@ -695,6 +706,7 @@ class Interpreter:
             sub = Interpreter(self.rsrc, None, self.collect_shapes)
             sub.cur_item = fig
             sub._fig_stack = self._fig_stack
+            sub._trunc = self._trunc
             sub.render_contents(resources, [xobj], mult_matrix(matrix, self.ctm))
             self.cur_item = self._fig_stack.pop()
             self.cur_item.add(fig)

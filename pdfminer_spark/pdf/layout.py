@@ -329,7 +329,7 @@ class Figure(Container):
 
 
 class Page(Container):
-    __slots__ = ("pageid", "rotate", "groups")
+    __slots__ = ("pageid", "rotate", "groups", "truncated_forms")
 
     def __init__(self, pageid, bbox, rotate=0):
         super().__init__()
@@ -337,6 +337,9 @@ class Page(Container):
         self.pageid = pageid
         self.rotate = rotate
         self.groups = None
+        # Form XObject invocations dropped on this page by the
+        # interpreter's nesting cap (observability, ADVICE r6)
+        self.truncated_forms = 0
 
     def add(self, obj):
         self.objs.append(obj)  # page bbox fixed by mediabox

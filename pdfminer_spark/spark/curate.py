@@ -45,8 +45,10 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
 def curate(extracted: DataFrame, min_words: int = 5,
            max_punct_ratio: float = 0.3,
            min_chars: int = 20) -> DataFrame:
-    """Full curation tail over an extracted frame (status='ok' rows)."""
-    ok = extracted.filter(F.col("status") == "ok")
+    """Full curation tail over an extracted frame (status ok rows —
+    including 'ok:truncated-forms', whose text is valid but truncated
+    at the interpreter's form-nesting cap)."""
+    ok = extracted.filter(F.col("status").startswith("ok"))
     deduped = dedup_keep_first(ok)
     feat = with_quality_features(deduped)
     return feat.filter(

@@ -102,7 +102,12 @@ def extract_one(text: str, tool: str, page_numbers=None,
                     render_text(page, out)
                     out.append("\f")
                 rendered = "".join(out)
-            result = (rendered, len(pages), n_boxes, len(data), "ok")
+            # deep-nesting truncation is observable, not silent (ADVICE
+            # r6): a doc whose Form XObject nesting hit the interpreter's
+            # 64-deep cap still extracts, flagged 'ok:truncated-forms'
+            truncated = sum(getattr(p, "truncated_forms", 0) for p in pages)
+            status = "ok:truncated-forms" if truncated else "ok"
+            result = (rendered, len(pages), n_boxes, len(data), status)
         elif tool == "html":
             main = extract_main_text(text)
             result = (main, 0, 0, len(text.encode("utf-8")), "ok")

@@ -252,6 +252,35 @@ def test_lm_perplexity_cutoffs_agree_with_exact_ntile(spark):
         assert best["ppl_bucket"] == "head", sf
 
 
+def test_dsir_deciles_agree_with_exact_ntile(spark):
+    """Same no-global-window rule applied to dsir_weights (its NTILE(10)
+    was the identical shape): the value-cutoff decile must agree with
+    exact NTILE(10) except on boundary-straddling ties, where all tied
+    docs take the better (lower-numbered) decile."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdfminer_spark.ops.datasetops import dsir_weights
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = dsir_weights(spark, sf)
+        w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+        rows = out.select(
+            "doc_id", "log_weight", "weight_decile",
+            F.ntile(10).over(w).alias("ntile_decile")).collect()
+        assert rows, sf
+        straddling = {s for s in {r["log_weight"] for r in rows}
+                      if len({r["ntile_decile"] for r in rows
+                              if r["log_weight"] == s}) > 1}
+        for r in rows:
+            if r["weight_decile"] != r["ntile_decile"]:
+                assert r["log_weight"] in straddling, r
+                # ties take the better decile: the cutoff decile is the
+                # ntile decile of the FIRST tied row
+                assert r["weight_decile"] <= r["ntile_decile"], r
+        assert {r["weight_decile"] for r in rows} == set(range(1, 11)), sf
+
+
 def test_corpus_report_components_are_consistent(spark):
     """The dashboard must agree with the operators it summarizes —
     recompute each component directly and compare."""

@@ -204,12 +204,48 @@ def _nested_array_bomb() -> bytes:
 
 
 def _xref_stream_prev_cycle() -> bytes:
-    """Two xref streams whose /Prev entries point at each other."""
-    doc = _objstm_self_ref()
-    return doc  # the self-/Prev case above already exercises the chain
+    """Two xref STREAMS whose /Prev entries point at each other
+    (X1./Prev -> X2, X2./Prev -> X1): distinct from the self-/Prev
+    ObjStm case — the cycle spans two real /Type /XRef streams, the
+    exact shape the ``_seen`` guard in ``read_xref_from`` must break.
+    X1's /Prev is written as a fixed-width placeholder and patched
+    after X2's offset is known (same byte length, offsets stay valid)."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        4: FONT,
+        5: _stream_obj(b"", HELLO),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for objid in sorted(objs):
+        offsets[objid] = len(out)
+        out += b"%d 0 obj\n" % objid + objs[objid] + b"\nendobj\n"
+    p1 = len(out)
+    rows1 = [b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff"]
+    for objid in range(1, 6):
+        rows1.append(b"\x01" + offsets[objid].to_bytes(4, "big") + b"\x00\x00")
+    rows1.append(b"\x01" + p1.to_bytes(4, "big") + b"\x00\x00")  # obj6 = X1
+    placeholder = b"/Prev 0000000000"
+    x1 = _stream_obj(
+        b"/Type /XRef /Size 7 /W [1 4 2] /Root 1 0 R /Filter /FlateDecode "
+        + placeholder, zlib.compress(b"".join(rows1)))
+    out += b"6 0 obj\n" + x1 + b"\nendobj\n"
+    p2 = len(out)
+    rows2 = [b"\x01" + p2.to_bytes(4, "big") + b"\x00\x00"]  # obj7 = X2
+    x2 = _stream_obj(
+        b"/Type /XRef /Size 8 /Index [7 1] /W [1 4 2] /Root 1 0 R "
+        b"/Filter /FlateDecode /Prev %010d" % p1,
+        zlib.compress(b"".join(rows2)))
+    out += b"7 0 obj\n" + x2 + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % p1
+    return bytes(out).replace(placeholder, b"/Prev %010d" % p2, 1)
 
 
 HOSTILE = {
+    "xref_stream_prev_cycle": _xref_stream_prev_cycle,
     "xref_cycle_classic": _xref_cycle_classic,
     "objstm_self_ref": _objstm_self_ref,
     "form_self_reference": _form_self_reference,
@@ -234,13 +270,17 @@ def test_hostile_pdf_terminates_with_status(name):
         "", "pdf", page_numbers=None, pdf_bytes=data)
     wall = time.time() - t0
     assert wall < WALL_CAP, f"{name} took {wall:.1f}s"
-    assert status == "ok" or status.startswith("error:"), status
+    assert status.startswith("ok") or status.startswith("error:"), status
     # a RecursionError status would mean a construct rode the Python
     # stack to its limit inside a worker — the guards must make every
     # cycle terminate by design, not by stack exhaustion
     assert status != "error:RecursionError", name
-    if status == "ok":
+    if status.startswith("ok"):
         assert isinstance(text, str)
+    # deep-nesting truncation must be OBSERVABLE (ADVICE r6): the form
+    # cycles extract salvaged text but flag that the nesting cap fired
+    if name in ("form_self_reference", "form_mutual_cycle"):
+        assert status == "ok:truncated-forms", (name, status)
 
 
 def test_hostile_batch_through_spark(spark):
@@ -265,5 +305,7 @@ def test_hostile_batch_through_spark(spark):
     assert len(out) == len(HOSTILE)
     statuses = {r["conv_id"]: r["status"] for r in out}
     for (conv, status) in statuses.items():
-        assert status == "ok" or status.startswith("error:"), (conv, status)
+        assert status.startswith("ok") or status.startswith("error:"), \
+            (conv, status)
         assert status != "error:RecursionError", conv
+    assert statuses["hostile-form_self_reference"] == "ok:truncated-forms"

@@ -39,22 +39,26 @@ def test_oracle_check_tool_covers_all_queries():
 
 
 def test_queries_lead_with_stale_driver_row_ops():
-    """r5 verdict #1: the driver checks at most 50 queries in
-    registration order; every op whose SOURCE changed after its latest
-    driver CORRECTNESS row must come first so this round's sample
-    re-proves changed code. Guard the ordering (and that no priority
-    name is a typo that silently drops out of the dict comprehension)."""
+    """r5 verdict #1 + r6 verdict #4 (standing rule: no op's driver row
+    older than 2 rounds): the driver checks at most 50 queries in
+    registration order; ops whose SOURCE changed this round and ops with
+    the oldest driver rows must come first so this round's sample
+    re-proves least-proven code. Guard the ordering (and that no
+    priority name is a typo that silently drops out of the dict
+    comprehension)."""
     expected_head = [
-        "simhash", "simhash_pairs", "semantic_dedup",
-        "ann_lsh_buckets", "ann_lsh_pairs", "ann_ivf_topk",
-        "embedding_near_dups", "embedding_near_dups_fast",
-        "curate_near_dups", "dedup_incremental",
-        "media_metadata", "media_features", "media_resize",
-        "media_frame_sample",
-        "curate_pdf_corpus", "substring_dup_pairs", "contamination_bloom",
-        "lm_perplexity", "dsir_weights", "corpus_report",
+        "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
+        "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
+        "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",
+        "embedding_clusters",
+        "dedup_minhash_buckets", "dedup_minhash_pairs", "pii_scrub",
+        "contamination_check", "stratified_sample", "pack_chunks",
+        "normalize_text", "pack_sequences", "temperature_sample",
+        "decontaminate_spans", "conversation_pack", "holdout_split",
+        "turn_role_stats",
+        "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
-        "layout_boxes", "curate_near_dups_best",
+        "layout_boxes", "curate_pdf_corpus",
     ]
     names = list(entry.queries())
     assert names[:len(expected_head)] == expected_head

@@ -11,11 +11,12 @@ the SAME JVM so both variants share the box's noisy-neighbor phase; a
 fixed single-thread CPU control is timed before every rep so a slow rep
 is attributable to the box inside the artifact. Medians compared.
 
-Only ann_lsh_pairs actually contains the switched materialization
-(similarity._SIG_MAT); embedding_near_dups_fast and ann_ivf_topk have
-NO op-level materialization at all — for those the two "variants" run
-identical code, so any A-vs-B spread is a direct measurement of phase
-noise at this protocol's resolution.
+Only ann_lsh_pairs actually contains the switched materialization (its
+sig_mat keyword, passed explicitly per call — no mutable module state,
+ADVICE r6); embedding_near_dups_fast and ann_ivf_topk have NO op-level
+materialization at all — for those the two "variants" run identical
+code, so any A-vs-B spread is a direct measurement of phase noise at
+this protocol's resolution.
 
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python3 tools/ab_ann.py
 Prints one JSON line.
@@ -58,27 +59,29 @@ def main() -> None:
     from pdfminer_spark.spark.session import get_spark
 
     spark = get_spark("ab-ann", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
-    fns = {name: getattr(sim, name) for name in OPS}
+
+    def run(name: str, variant: str):
+        fn = getattr(sim, name)
+        if name == "ann_lsh_pairs":  # the only op with the switch
+            return fn(spark, SF_DIR, sig_mat=variant)
+        return fn(spark, SF_DIR)
 
     result: dict = {"sf": SF_DIR, "cpus": CPUS, "reps": REPS, "ops": {}}
-    for name, fn in fns.items():
+    for name in OPS:
         rec: dict = {"counts": {}, "times": {"checkpoint": [], "cache": []},
                      "controls": []}
         for variant in ("checkpoint", "cache"):  # warmup each variant
-            sim._SIG_MAT = variant
-            rec["counts"][variant] = fn(spark, SF_DIR).count()
+            rec["counts"][variant] = run(name, variant).count()
             spark.catalog.clearCache()
         assert rec["counts"]["checkpoint"] == rec["counts"]["cache"], name
         for _rep in range(REPS):
             for variant in ("checkpoint", "cache"):  # interleaved
-                sim._SIG_MAT = variant
                 ctl = control_probe()
                 t0 = time.time()
-                fn(spark, SF_DIR).count()
+                run(name, variant).count()
                 rec["times"][variant].append(round(time.time() - t0, 3))
                 rec["controls"].append(ctl)
                 spark.catalog.clearCache()
-        sim._SIG_MAT = "checkpoint"
         rec["median"] = {v: median(ts) for v, ts in rec["times"].items()}
         rec["phase_drift_max"] = round(
             max(rec["controls"]) / min(rec["controls"]), 2)

@@ -152,7 +152,7 @@ def hostile() -> int:
             continue
         wall = time.time() - t0
         ok = (wall < WALL_CAP
-              and (status == "ok" or status.startswith("error:"))
+              and (status.startswith("ok") or status.startswith("error:"))
               and status != "error:RecursionError")
         if not ok:
             bad += 1

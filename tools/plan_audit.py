@@ -116,6 +116,11 @@ AUDITS = [
      "against two driver-computed cutoff literals from the bounded "
      "score histogram — scoring is explode + two hash aggregates with "
      "broadcast joins for the lp6 table; no global sort, no NTILE."),
+    ("dsir_weights",
+     "same rule as lm_perplexity (this op's global NTILE(10) was the "
+     "identical shape): deciles come from a BroadcastHashJoin against "
+     "the bounded (weight -> decile) map — no unpartitioned Window, no "
+     "global sort anywhere in the plan."),
 ]
 
 def main() -> None:
