@@ -146,6 +146,15 @@ class CMapParser(StackParser):
         super().__init__(data)
         self.cmap = cmap
         self._in_cmap = True  # some ToUnicode maps omit begincmap
+        # Total range-expansion budget for this run: a hostile embedded
+        # CMap can declare `<00000000> <7fffffff> 0 endcidrange` (or the
+        # bfrange analog) and the naive per-range loop runs 2^31 times
+        # inside a worker (the reference, cmapdb.py:310-417, expands
+        # unbounded and hangs). Legit CMaps map <= 65,536 codes per
+        # 2-byte range and the largest real Adobe CJK resources total
+        # ~100k mappings, so a 1M budget is unreachable except under
+        # attack; once exhausted, further ranges are truncated.
+        self._budget = 1 << 20
 
     def run(self) -> None:
         try:
@@ -200,7 +209,9 @@ class CMapParser(StackParser):
                 svar, evar = s[-4:], e[-4:]
                 s1, e1 = nunpack(svar), nunpack(evar)
                 vlen = len(svar)
-                for k in range(e1 - s1 + 1):
+                n = min(e1 - s1 + 1, self._budget)
+                self._budget -= max(n, 0)
+                for k in range(n):
                     x = sprefix + struct.pack(">L", s1 + k)[-vlen:]
                     self.cmap.add_code2cid(x, cid + k)
             return
@@ -220,15 +231,18 @@ class CMapParser(StackParser):
                     continue
                 s1, e1 = nunpack(s), nunpack(e)
                 if isinstance(code, list):
-                    for k in range(e1 - s1 + 1):
-                        if k < len(code):
-                            self.cmap.add_cid2unichr(s1 + k, code[k])
+                    # identical to looping e1-s1+1 times with a k <
+                    # len(code) guard, minus the hostile-range spin
+                    for k in range(min(e1 - s1 + 1, len(code))):
+                        self.cmap.add_cid2unichr(s1 + k, code[k])
                 elif isinstance(code, bytes):
                     var = code[-4:]
                     base = nunpack(var)
                     prefix = code[:-4]
                     vlen = len(var)
-                    for k in range(e1 - s1 + 1):
+                    n = min(e1 - s1 + 1, self._budget)
+                    self._budget -= max(n, 0)
+                    for k in range(n):
                         x = prefix + struct.pack(">L", base + k)[-vlen:]
                         self.cmap.add_cid2unichr(s1 + k, x)
             return

@@ -37,6 +37,14 @@ def core14_metrics() -> dict:
         return json.load(fp)
 
 
+# CIDs are 16-bit by spec (Adobe CID-keyed font architecture): clamping
+# /W,/W2 range expansion to [0, 0xFFFF] cannot change any legitimate
+# font, but stops a hostile `/W [0 2000000000 500]` from looping two
+# billion times inside a worker (the reference expands unbounded,
+# pdffont.py:33-50, and hangs on such input).
+_MAX_CID = 0xFFFF
+
+
 def get_widths(seq: list) -> dict[int, float]:
     """Unpack a CID font /W array (reference pdffont.py:33-50)."""
     widths: dict[int, float] = {}
@@ -53,7 +61,8 @@ def get_widths(seq: list) -> dict[int, float]:
             r.append(v)
             if len(r) == 3:
                 (char1, char2, w) = r
-                for i in range(int(char1), int(char2) + 1):
+                for i in range(max(int(char1), 0),
+                               min(int(char2), _MAX_CID) + 1):
                     widths[i] = w
                 r = []
     return widths
@@ -75,7 +84,8 @@ def get_widths2(seq: list) -> dict[int, tuple]:
             r.append(v)
             if len(r) == 5:
                 (char1, char2, w, vx, vy) = r
-                for i in range(int(char1), int(char2) + 1):
+                for i in range(max(int(char1), 0),
+                               min(int(char2), _MAX_CID) + 1):
                     widths[i] = (w, (vx, vy))
                 r = []
     return widths
@@ -111,7 +121,17 @@ class Type1HeaderParser(StackParser):
 
 def truetype_unicode_map(data: bytes) -> UnicodeMap | None:
     """Parse a TrueType 'cmap' table into gid -> unicode
-    (reference pdffont.py:375-451; formats 0, 2, 4)."""
+    (reference pdffont.py:375-451; formats 0, 2, 4).
+
+    Total mapping-entry work is budgeted (``_TT_CMAP_BUDGET``): a legit
+    font maps at most 65,536 charcodes per subtable, but a hostile
+    format-4 table can declare 32,767 segments each spanning the full
+    16-bit range with idRangeOffset=0 — no out-of-bounds reads, ~2e9
+    iterations if expanded naively (the reference expands unbounded and
+    hangs). Budget exhaustion raises and lands in the existing
+    returns-None handler."""
+    _TT_CMAP_BUDGET = 1 << 20  # >= 16 full 65,536-code subtables
+    ops = 0
     try:
         if len(data) < 12:
             return None
@@ -156,6 +176,9 @@ def truetype_unicode_map(data: bytes) -> UnicodeMap | None:
                 for (i, firstcode, entcount, delta, pos) in hdrs:
                     if not entcount:
                         continue
+                    ops += entcount
+                    if ops > _TT_CMAP_BUDGET:
+                        raise ValueError("hostile cmap: format-2 bomb")
                     first = firstcode + (firstbytes[i] << 8)
                     for c in range(entcount):
                         (gid,) = struct.unpack(">H", data[pos + 2 * c : pos + 2 * c + 2])
@@ -175,6 +198,10 @@ def truetype_unicode_map(data: bytes) -> UnicodeMap | None:
                 pos = q
                 idrs = struct.unpack(">%dH" % segcount, data[q : q + 2 * segcount])
                 for (k, (ec, sc, idd, idr)) in enumerate(zip(ecs, scs, idds, idrs)):
+                    if sc <= ec:
+                        ops += ec - sc + 1
+                        if ops > _TT_CMAP_BUDGET:
+                            raise ValueError("hostile cmap: format-4 bomb")
                     if idr:
                         rp = pos + 2 * k + idr
                         for c in range(sc, ec + 1):
@@ -411,9 +438,17 @@ class CIDFont(Font):
             raise UnicodeNotDefined(cid) from None
 
 
-def make_font(spec: dict) -> Font:
-    """Font factory (reference pdfinterp.py:168-211)."""
+def make_font(spec: dict, _depth: int = 0) -> Font:
+    """Font factory (reference pdfinterp.py:168-211).
+
+    ``_depth`` breaks Type0 descendant cycles: a hostile Type0 font
+    whose /DescendantFonts entry is (or leads back to) itself recurses
+    forever in the reference; past depth 8 the spec is treated as the
+    same simple-font fallback the factory already uses for unknown
+    subtypes."""
     spec = dict_value(spec)
+    if _depth > 8:
+        return Type1Font(spec)
     subtype = literal_name(resolve1(spec.get("Subtype", Name("Type1"))))
     if subtype in ("Type1", "MMType1"):
         return Type1Font(spec)
@@ -430,5 +465,5 @@ def make_font(spec: dict) -> Font:
             for k in ("Encoding", "ToUnicode"):
                 if k in spec:
                     subspec[k] = resolve1(spec[k])
-            return make_font(subspec)
+            return make_font(subspec, _depth + 1)
     return Type1Font(spec)

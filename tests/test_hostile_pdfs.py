@@ -10,7 +10,11 @@ self-reference, self-/cyclically-referencing Form XObjects, truncated
 streams, corrupt Flate data, huge and negative /Length, a huge CID /W
 array, page-tree cycles, /Contents indirect-ref cycles, garbage xref
 offsets (fallback-scan territory), an inline image that never closes,
-and a deeply nested array bomb.
+and a deeply nested array bomb — plus the font/CMap surface (VERDICT
+r6 #6): 2^31-code ToUnicode ranges, self-referential usecmap, TrueType
+cmap format-4/format-2 expansion bombs, a Type0 font that is its own
+descendant, a two-billion-entry /W range, corrupt CFF /FontFile3, and
+a garbage Type1 /FontFile header.
 """
 from __future__ import annotations
 
@@ -203,6 +207,151 @@ def _nested_array_bomb() -> bytes:
     return basic(content)
 
 
+# -- font / CMap attack surface (VERDICT r6 #6) -------------------------------
+# The reference crashes or hangs on these (unbounded range expansion in
+# pdffont.py get_widths / cmapdb.py CMapParser, unguarded TrueType cmap
+# subtable walks, unguarded Type0 descendant recursion); every one must
+# come back from extract_one as an ok/error:* status within the wall cap.
+
+_CID_DESC = (b"<< /Type /FontDescriptor /FontName /X /Flags 4 "
+             b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+             b"/Descent -200 /CapHeight 700 /StemV 80 %s>>")
+
+
+def _cid_pdf(extra_type0: bytes = b"", extra_cid: bytes = b"",
+             desc_extra: bytes = b"", extra_objects=None) -> bytes:
+    """Single-page PDF whose /F1 is a Type0/CIDFontType2 font."""
+    cidfont = (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X "
+               b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+               b"/Supplement 0 >> /FontDescriptor 7 0 R " + extra_cid + b">>")
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+            + extra_type0 + b">>")
+    objs = {6: cidfont, 7: _CID_DESC % desc_extra}
+    objs.update(extra_objects or {})
+    return basic(b"BT /F1 12 Tf 72 720 Td <0041> Tj ET",
+                 font=font, extra_objects=objs)
+
+
+def _tounicode_giant_ranges() -> bytes:
+    """ToUnicode CMap declaring 2^31-code bfrange AND cidrange entries:
+    naive per-range expansion (the reference's cmapdb.py:310-417) loops
+    two billion times per range; the parser budget must truncate."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange <00000000> <7fffffff> endcodespacerange\n"
+            b"1 beginbfrange <00000000> <7fffffff> <0041> endbfrange\n"
+            b"1 begincidrange <00000000> <7fffffff> 0 endcidrange\n"
+            b"endcmap end\n")
+    return _cid_pdf(extra_type0=b"/ToUnicode 8 0 R ",
+                    extra_objects={8: _stream_obj(b"", cmap)})
+
+
+def _usecmap_self() -> bytes:
+    """ToUnicode whose usecmap names a CMap that does not exist as a
+    predefined resource (including itself) — must resolve to a clean
+    CMapNotFound skip, never a recursive load."""
+    cmap = (b"begincmap\n"
+            b"/CMapName /HostileSelf def\n"
+            b"/HostileSelf usecmap\n"
+            b"1 beginbfchar <0041> <0042> endbfchar\n"
+            b"endcmap\n")
+    return _cid_pdf(extra_type0=b"/ToUnicode 8 0 R ",
+                    extra_objects={8: _stream_obj(b"", cmap)})
+
+
+def _ttf(cmap_table: bytes) -> bytes:
+    """Minimal sfnt wrapper: one 'cmap' table."""
+    import struct
+
+    header = struct.pack(">LHHHH", 0x00010000, 1, 16, 0, 16)
+    rec = struct.pack(">4sLLL", b"cmap", 0, 28, len(cmap_table))
+    return header + rec + cmap_table
+
+
+def _tt_cmap_format4_bomb() -> bytes:
+    """TrueType cmap format-4 with 8191 segments each spanning the full
+    16-bit range with idRangeOffset=0: no out-of-bounds reads, ~5e8
+    mapping operations if expanded naively (the reference's
+    pdffont.py:416-451 walk has no budget and spins for minutes)."""
+    import struct
+
+    nseg = 8191
+    body = struct.pack(">HHHH", nseg * 2, 0, 0, 0)
+    body += struct.pack(">%dH" % nseg, *([0xFFFF] * nseg))   # endCodes
+    body += b"\x00\x00"                                       # reservedPad
+    body += struct.pack(">%dH" % nseg, *([0] * nseg))         # startCodes
+    body += struct.pack(">%dh" % nseg, *([0] * nseg))         # idDeltas
+    body += struct.pack(">%dH" % nseg, *([0] * nseg))         # idRangeOffsets
+    # length field saturates at 0xFFFF (hostile in itself; unused by the
+    # parser, which walks the declared arrays)
+    sub = struct.pack(">HHH", 4, min(6 + len(body), 0xFFFF), 0) + body
+    table = struct.pack(">HH", 0, 1) + struct.pack(">HHL", 3, 1, 12) + sub
+    return _cid_pdf(desc_extra=b"/FontFile2 8 0 R ",
+                    extra_objects={8: _stream_obj(b"", _ttf(table))})
+
+
+def _tt_cmap_format2_bomb() -> bytes:
+    """TrueType cmap format-2 whose subHeaderKeys force 8192 subheaders
+    with entryCount=0xFFFF each (~5e8 naive operations), all reads
+    in-bounds via a shared zero region."""
+    import struct
+
+    body = struct.pack(">256H", *([0xFFFF] * 256))      # subHeaderKeys
+    nhdrs = 8192
+    # (firstCode, entryCount, idDelta, idRangeOffset) x nhdrs, all
+    # pointing their glyph reads into the zero pad after the headers
+    body += struct.pack(">HHhH", 0, 0xFFFF, 0, 8) * nhdrs
+    body += b"\x00" * (2 * 0x10000)                      # shared gid pad
+    sub = struct.pack(">HHH", 2, min(6 + len(body), 0xFFFF), 0) + body
+    table = struct.pack(">HH", 0, 1) + struct.pack(">HHL", 3, 1, 12) + sub
+    return _cid_pdf(desc_extra=b"/FontFile2 8 0 R ",
+                    extra_objects={8: _stream_obj(b"", _ttf(table))})
+
+
+def _type0_self_descendant() -> bytes:
+    """Type0 font whose /DescendantFonts entry is ITSELF: the factory
+    recursion (reference pdfinterp.py:168-211) never bottoms out without
+    a depth guard."""
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+            b"/Encoding /Identity-H /DescendantFonts [4 0 R] >>")
+    return basic(b"BT /F1 12 Tf 72 720 Td <0041> Tj ET", font=font)
+
+
+def _w_array_2g_range() -> bytes:
+    """CID /W array with a single [0 2000000000 500] range: two billion
+    dict inserts if expanded naively (the reference's pdffont.py:33-50
+    does exactly that). CIDs are 16-bit by spec, so the clamp is
+    behavior-preserving for every legitimate font."""
+    return _cid_pdf(extra_cid=b"/W [ 0 2000000000 500 2000000000 "
+                              b"-2000000000 7 ] ")
+
+
+def _cff_fontfile3_garbage() -> bytes:
+    """Corrupt /FontFile3 (CFF) payload: the engine maps CIDs through
+    ToUnicode/predefined CMaps and never executes CFF charstrings (the
+    reference's CFFFont INDEX walk, pdffont.py:135-451, recurses on
+    crafted subroutines), so a hostile CFF must be inert."""
+    garbage = b"\x01\x00\x04\x04" + b"\xff" * 600
+    return _cid_pdf(desc_extra=b"/FontFile3 8 0 R ",
+                    extra_objects={
+                        8: _stream_obj(b"/Subtype /CIDFontType0C", garbage)})
+
+
+def _type1_fontfile_garbage() -> bytes:
+    """Simple Type1 font with an unparseable /FontFile header and no
+    /Encoding: the header parser must swallow the garbage, not raise."""
+    font = (b"<< /Type /Font /Subtype /Type1 /Name /F1 /BaseFont /NotCore "
+            b"/FontDescriptor 6 0 R /FirstChar 65 /Widths [500] >>")
+    desc = (b"<< /Type /FontDescriptor /FontName /NotCore /Flags 4 "
+            b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile 7 0 R >>")
+    garbage = b"%!PS \x00\x01" + b"dup dup dup put put " * 40 + b"\xfe" * 64
+    return basic(b"BT /F1 12 Tf 72 720 Td (A) Tj ET", font=font,
+                 extra_objects={6: desc, 7: _stream_obj(
+                     b"/Length1 %d" % (len(garbage)), garbage)})
+
+
 def _xref_stream_prev_cycle() -> bytes:
     """Two xref STREAMS whose /Prev entries point at each other
     (X1./Prev -> X2, X2./Prev -> X1): distinct from the self-/Prev
@@ -245,6 +394,14 @@ def _xref_stream_prev_cycle() -> bytes:
 
 
 HOSTILE = {
+    "tounicode_giant_ranges": _tounicode_giant_ranges,
+    "usecmap_self": _usecmap_self,
+    "tt_cmap_format4_bomb": _tt_cmap_format4_bomb,
+    "tt_cmap_format2_bomb": _tt_cmap_format2_bomb,
+    "type0_self_descendant": _type0_self_descendant,
+    "w_array_2g_range": _w_array_2g_range,
+    "cff_fontfile3_garbage": _cff_fontfile3_garbage,
+    "type1_fontfile_garbage": _type1_fontfile_garbage,
     "xref_stream_prev_cycle": _xref_stream_prev_cycle,
     "xref_cycle_classic": _xref_cycle_classic,
     "objstm_self_ref": _objstm_self_ref,
