@@ -29,17 +29,31 @@ _DROP_TAGS = {"script", "style", "noscript", "svg", "template", "head",
 _CHROME_TAGS = {"nav", "header", "footer", "aside"}
 _CHROME_HINT = re.compile(
     r"(?:^|[-_ ])(nav|menu|footer|header|sidebar|breadcrumb|banner|advert|"
-    r"ads?|cookie|social|share|comment)s?(?:$|[-_ ])", re.I)
+    r"ads?|cookie|social|share|comment|consent|gdpr|cmp|modal|popup|overlay|"
+    r"paywall|newsletter|signup|subscribe|promo|disqus)s?(?:$|[-_ ])", re.I)
 
 _WS = re.compile(r"\s+")
+_ALNUM = re.compile(r"[A-Za-z0-9]")
+# terminating-boilerplate signal (boilerpipe-style): a SHORT block that
+# reads like a copyright footer line is chrome even with no tag/class
+# hint (legacy table layouts carry no semantic markup at all)
+_COPYRIGHT = re.compile(
+    r"©\s*(?:19|20)\d\d|\(c\)\s*(?:19|20)\d\d|"
+    r"copyright\s+(?:©\s*)?(?:19|20)\d\d|all rights reserved", re.I)
 
 
 class _Block:
-    __slots__ = ("words", "link_words", "in_chrome", "tags")
+    __slots__ = ("words", "link_words", "alnum_words", "link_alnum",
+                 "in_chrome", "tags")
 
     def __init__(self, in_chrome: int):
         self.words: list[str] = []
         self.link_words = 0
+        # word-ish (alnum-bearing) token counts: link density over ALL
+        # tokens lets bracket/pipe separator punctuation dilute a pure
+        # navigation row ("[ Home ] [ Products ]" is 2/3 punctuation)
+        self.alnum_words = 0
+        self.link_alnum = 0
         self.in_chrome = in_chrome
         self.tags = 0
 
@@ -128,8 +142,11 @@ class _BlockParser(HTMLParser):
         if not words:
             return
         self._cur.words.extend(words)
+        n_alnum = sum(1 for w in words if _ALNUM.search(w))
+        self._cur.alnum_words += n_alnum
         if self._link_depth:
             self._cur.link_words += len(words)
+            self._cur.link_alnum += n_alnum
 
     def close(self):
         super().close()
@@ -154,17 +171,19 @@ def extract_main_text(html: str, max_link_density: float = 0.5,
     for (i, b) in enumerate(blocks):
         if b.in_chrome:
             continue
-        nw = len(b.words)
+        nw = b.alnum_words  # separator punctuation is not content
         if nw == 0:
             continue
-        link_density = b.link_words / nw
+        link_density = b.link_alnum / nw
         if link_density > max_link_density:
             continue
+        if nw <= 30 and _COPYRIGHT.search(" ".join(b.words)):
+            continue  # short copyright footer line, markup-less chrome
         if nw >= min_words:
             keep[i] = True
     # continuation rule: short clean blocks between kept neighbors survive
     for (i, b) in enumerate(blocks):
-        if keep[i] or b.in_chrome or not b.words:
+        if keep[i] or b.in_chrome or not b.alnum_words:
             continue
         if b.link_words:
             continue
@@ -176,6 +195,6 @@ def extract_main_text(html: str, max_link_density: float = 0.5,
     if not out:
         # tiny/threshold-starved documents: all non-chrome, non-link-dense text
         out = [" ".join(b.words) for b in blocks
-               if b.words and not b.in_chrome
-               and b.link_words / len(b.words) <= max_link_density]
+               if b.alnum_words and not b.in_chrome
+               and b.link_alnum / b.alnum_words <= max_link_density]
     return "\n".join(out)

@@ -96,6 +96,35 @@ _REALISM = {
                       "typos surface at startup"],
         "must_drop": ["teardown", "edit this page", "api/configure"],
     },
+    # -- round-7 second tranche (VERDICT r6 #7) ------------------------------
+    # A true-1998 spacer-gif table layout with ZERO class/id/semantic
+    # hints (bracket-separated link nav, plain copyright row), a modern
+    # threaded comment DOM with vote/reply links plus a Disqus embed
+    # div, and a GDPR consent overlay + newsletter popup over a recipe.
+    # Each caught a real leak before the r7 extractor changes:
+    # punctuation-diluted link density kept "[ Home ] [ Products ]",
+    # the markup-less copyright row survived, and consent/modal/popup/
+    # newsletter/disqus class tokens were not chrome hints.
+    "legacy_spacer_tables": {
+        "must_keep": ["VX-200 56K modem", "hardware compression chip",
+                      "forty dollar rebate"],
+        "must_drop": ["Guestbook", "Hot deal", "webring",
+                      "All rights reserved", "webmaster", "800x600"],
+    },
+    "comment_thread_votes": {
+        "must_keep": ["Perseid meteor shower", "ninety meteors per hour",
+                      "eyes adapt for twenty minutes"],
+        "must_drop": ["stargeezer", "upvote", "worth the drive",
+                      "overcast here again", "Load 40 more",
+                      "powered by Disqus", "Night Sky Daily"],
+    },
+    "consent_overlay_recipe": {
+        "must_keep": ["two ingredient flatbread", "shaggy dough forms",
+                      "under a towel"],
+        "must_drop": ["143 partners", "geolocation", "Accept all",
+                      "fifty thousand home cooks", "uses cookies",
+                      "All rights reserved"],
+    },
 }
 
 
