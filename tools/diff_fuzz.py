@@ -211,9 +211,61 @@ def mutate(iters: int, seed: int) -> int:
     return 1 if bad else 0
 
 
+def mutate_fonts(iters: int, seed: int) -> int:
+    """--mutate-fonts N [seed]: font/CMap-surface mutation fuzz (r6
+    verdict #6). Each iteration takes one of the hand-built font-attack
+    fixtures (CID font + embedded TTF cmap / ToUnicode CMap / W arrays /
+    CFF / Type1 programs) and corrupts 1-16 random bytes — damage lands
+    concentrated in the font-parsing paths instead of uniformly over
+    the file. Same contract as --mutate: ok/error:* within the wall cap,
+    never a hang or RecursionError."""
+    import time
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_hostile_pdfs import HOSTILE
+
+    from pdfminer_spark.spark.pipeline import extract_one
+
+    font_fixtures = [
+        HOSTILE[n] for n in (
+            "tounicode_giant_ranges", "usecmap_self", "tt_cmap_format4_bomb",
+            "tt_cmap_format2_bomb", "type0_self_descendant",
+            "w_array_2g_range", "cff_fontfile3_garbage",
+            "type1_fontfile_garbage", "huge_w_array")
+    ]
+    rng = random.Random(seed)
+    bad = 0
+    worst = 0.0
+    for i in range(iters):
+        pdf = bytearray(rng.choice(font_fixtures)())
+        for _ in range(rng.randint(1, 16)):
+            pdf[rng.randrange(len(pdf))] = rng.randrange(256)
+        t0 = time.time()
+        try:
+            (_t, _p, _b, _y, status) = extract_one(
+                "", "pdf", pdf_bytes=bytes(pdf))
+        except Exception as e:
+            print(f"[{i}] ESCAPED {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        wall = time.time() - t0
+        worst = max(worst, wall)
+        if wall > 30.0 or status == "error:RecursionError":
+            print(f"[{i}] {status} wall={wall:.1f}s <-- FAIL")
+            with open(f"/tmp/fontfuzz_fail_{i}.pdf", "wb") as fp:
+                fp.write(bytes(pdf))
+            bad += 1
+    print(f"{iters} font mutants, {bad} failures, worst wall {worst:.2f}s")
+    return 1 if bad else 0
+
+
 def main() -> int:
     if "--hostile" in sys.argv:
         return hostile()
+    if "--mutate-fonts" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        return mutate_fonts(int(args[0]) if args else 2000,
+                            int(args[1]) if len(args) > 1 else 42)
     if "--mutate" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         return mutate(int(args[0]) if args else 2000,
