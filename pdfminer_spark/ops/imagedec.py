@@ -1,0 +1,469 @@
+"""Pure-numpy still-image decoders: PNG and baseline JPEG.
+
+Closes the r6 "honest partial" in the multimodal decode step: compressed
+image codecs previously fell back to the deterministic fake because no
+image library ships in this container. Both decoders below are built
+from the public specs alone (PNG: RFC 2083 / ISO 15948; JPEG: ITU-T.81
+baseline sequential DCT + the JFIF YCbCr conventions) on stdlib ``zlib``
+and numpy — no PIL/libjpeg. They are differentially tested against the
+JVM's ``javax.imageio`` through the Spark gateway (exact for PNG, which
+is lossless; within a small per-channel tolerance for JPEG, whose IDCT
+is implementation-defined).
+
+Out of scope (still the documented fallback in ``decode_media``):
+interlaced (Adam7) PNG, progressive/arithmetic/12-bit JPEG, and the
+video/audio compressed codecs (MP3/H.264 need a real codec stack).
+
+Returned dict follows the ``decode_media`` contract: ``width``,
+``height``, ``frames`` plus ``pixels`` (H x W x C uint8, C in {1,3,4}).
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class ImageDecodeError(ValueError):
+    """Malformed or unsupported (but correctly sniffed) image payload."""
+
+
+# hostile-input ceiling: a 32-byte header can declare 65535x65535 (JPEG)
+# or 16M x 16M (PNG) and make the decoder allocate terabytes before any
+# pixel data is read. 64M pixels = 192 MB of RGB — far above any real
+# document media cell, far below worker memory.
+_MAX_PIXELS = 1 << 26
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# colortype -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int,
+                  fpp: int) -> np.ndarray:
+    """Undo per-scanline filtering (spec §6): each row starts with a
+    filter-type byte; Sub/Average/Paeth carry a left-pixel dependency, so
+    those rows walk bytewise (ints, not numpy scalars — ~8x faster for
+    the sequential part); None/Up rows stay vectorized."""
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype = rows[y, 0]
+        cur = rows[y, 1:]
+        if ftype == 0:  # None
+            out[y] = cur
+            continue
+        if ftype == 2:  # Up
+            out[y] = cur + (out[y - 1] if y else 0)
+            continue
+        line = cur.tolist()
+        prev = out[y - 1].tolist() if y else [0] * stride
+        if ftype == 1:  # Sub
+            for i in range(fpp, stride):
+                line[i] = (line[i] + line[i - fpp]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - fpp] if i >= fpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - fpp] if i >= fpp else 0
+                b = prev[i]
+                c = prev[i - fpp] if i >= fpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ImageDecodeError("PNG: unknown filter type %d" % ftype)
+        out[y] = line
+    return out
+
+
+def decode_png(b: bytes) -> dict:
+    """Decode a non-interlaced PNG (bit depths 1/2/4/8/16; color types
+    gray / RGB / palette / gray+alpha / RGBA). 16-bit samples are
+    truncated to their high byte (the 8-bit view javax.imageio also
+    presents through getRGB)."""
+    if b[:8] != PNG_SIG:
+        raise ImageDecodeError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ImageDecodeError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ImageDecodeError("PLTE length not divisible by 3")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if ihdr is None:
+        raise ImageDecodeError("missing IHDR")
+    (width, height, depth, colortype, comp, filt, interlace) = ihdr
+    if comp != 0 or filt != 0:
+        raise ImageDecodeError("unknown compression/filter method")
+    if interlace != 0:
+        raise ImageDecodeError("interlaced PNG not supported")
+    if colortype not in _PNG_CHANNELS:
+        raise ImageDecodeError("bad color type %d" % colortype)
+    if depth not in (1, 2, 4, 8, 16) or (
+            depth < 8 and colortype not in (0, 3)) or (
+            depth == 16 and colortype == 3):
+        raise ImageDecodeError("bad bit depth %d for color type %d"
+                               % (depth, colortype))
+    if not (0 < width and 0 < height and width * height <= _MAX_PIXELS):
+        raise ImageDecodeError("bad dimensions")
+    channels = _PNG_CHANNELS[colortype]
+    bits_pp = depth * channels
+    stride = (width * bits_pp + 7) // 8
+    fpp = max(bits_pp // 8, 1)  # filter unit, spec §6
+    need = (stride + 1) * height
+    try:
+        # decompress EXACTLY the expected pixel bytes: plain
+        # zlib.decompress would expand a crafted IDAT without bound
+        # (a 1 MB zlib bomb inflates to GBs) before the size check
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), need)
+    except zlib.error as e:
+        raise ImageDecodeError("IDAT: %s" % e) from None
+    if len(raw) < need:
+        raise ImageDecodeError("decompressed data too short")
+    arr = _png_unfilter(
+        np.frombuffer(raw, np.uint8, count=(stride + 1) * height),
+        height, stride, fpp)
+    if depth < 8:
+        # unpack sub-byte samples, then scale/palette below
+        bits = np.unpackbits(arr, axis=1)[:, :width * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits.reshape(height, width, depth) * weights).sum(
+            axis=2).astype(np.uint8)
+        px = samples[..., None]
+    elif depth == 16:
+        px = arr.reshape(height, width, channels, 2)[..., 0]  # high byte
+    else:
+        px = arr.reshape(height, width, channels)
+    if colortype == 3:
+        if palette is None:
+            raise ImageDecodeError("palette image without PLTE")
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ImageDecodeError("palette index out of range")
+        px = palette[idx]
+    elif depth < 8:  # grayscale, scale to full 8-bit range
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return {"width": int(width), "height": int(height), "frames": 1,
+            "bpp": int(bits_pp), "pixels": np.ascontiguousarray(px)}
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T.81)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# 8x8 type-III DCT basis: block = C.T @ coef @ C with the orthonormal C
+_DCT_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5)
+
+
+class _Huffman:
+    """Canonical Huffman table (DHT): decode by walking code lengths —
+    at most 16 compares per symbol, no tree allocation."""
+
+    __slots__ = ("maxcode", "mincode", "valptr", "values")
+
+    def __init__(self, counts: list[int], values: bytes):
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (0xFF00
+    stuffing already stripped by the segment splitter)."""
+
+    __slots__ = ("data", "pos", "bits", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bits = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.bits = (self.bits << 8) | byte
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def decode(self, table: _Huffman) -> int:
+        code = self.read(1)
+        for ln in range(1, 17):
+            if table.maxcode[ln] >= 0 and code <= table.maxcode[ln]:
+                return table.values[
+                    table.valptr[ln] + code - table.mincode[ln]]
+            code = (code << 1) | self.read(1)
+        raise ImageDecodeError("bad Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/AC magnitude decode (spec F.2.2.1)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(b: bytes) -> dict:
+    """Decode a baseline sequential JPEG (SOF0; 8-bit; 1 or 3
+    components; restart markers supported). Progressive (SOF2) and
+    other SOFn variants raise. Output is H x W x 3 RGB for YCbCr (JFIF
+    BT.601 conversion) or H x W x 1 for grayscale."""
+    if b[:3] != b"\xff\xd8\xff":
+        raise ImageDecodeError("not a JPEG SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huffman] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ImageDecodeError("marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                n = 128 if pq else 64
+                tbl = np.frombuffer(body[i + 1:i + 1 + n],
+                                    np.uint16 if pq else np.uint8)
+                if pq:
+                    tbl = tbl.byteswap()
+                qt[tq] = tbl.astype(np.int32)
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1:i + 17])
+                nvals = sum(counts)
+                huff[(tc, th)] = _Huffman(
+                    counts, body[i + 17:i + 17 + nvals])
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            (prec, height, width, ncomp) = struct.unpack_from(">BHHB", body)
+            if prec != 8:
+                raise ImageDecodeError("only 8-bit precision")
+            if not (0 < width and 0 < height
+                    and width * height <= _MAX_PIXELS):
+                raise ImageDecodeError("bad dimensions")
+            if not 1 <= ncomp <= 4:
+                raise ImageDecodeError("bad component count %d" % ncomp)
+            comps = []
+            for c in range(ncomp):
+                (cid, hv, tq) = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * c)
+                (ch, cv) = (hv >> 4, hv & 15)
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ImageDecodeError("bad sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            if any(max(c["h"] for c in comps) % c["h"]
+                   or max(c["v"] for c in comps) % c["v"] for c in comps):
+                raise ImageDecodeError("non-integer sampling ratio")
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageDecodeError(
+                "non-baseline SOF 0x%02X not supported" % marker)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append({"cs": cs, "td": tables >> 4,
+                                   "ta": tables & 15})
+            scan = (scan_comps, pos)
+            break
+    if frame is None or scan is None:
+        raise ImageDecodeError("missing SOF/SOS")
+    (scan_comps, data_start) = scan
+
+    # entropy-coded data: strip stuffing, split on restart markers
+    segments = []
+    cur = bytearray()
+    i = data_start
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for sc in scan_comps:
+        c = by_id.get(sc["cs"])
+        if c is None:
+            raise ImageDecodeError("scan references unknown component")
+        order.append((c, sc["td"], sc["ta"]))
+
+    # per-component coefficient planes (in 8x8 blocks)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                          np.float32)
+        for c in comps
+    }
+    n_mcu = mcux * mcuy
+    per_seg = restart_interval or n_mcu
+    mcu = 0
+    for seg in segments:
+        if mcu >= n_mcu:
+            break
+        reader = _BitReader(seg)
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for (c, td, ta) in order:
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                q = qt.get(c["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ImageDecodeError("missing table for component")
+                for v in range(c["v"]):
+                    for hn in range(c["h"]):
+                        coef = np.zeros(64, np.int32)
+                        t = reader.decode(dc_tab)
+                        diff = _extend(reader.read(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageDecodeError("AC index overflow")
+                            coef[k] = _extend(reader.read(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float32)
+                        block[_ZIGZAG] = (coef * q).astype(np.float32)
+                        blk8 = block.reshape(8, 8)
+                        spatial = _DCT_C.T @ blk8 @ _DCT_C
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hn) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu += 1
+
+    W, H = frame["w"], frame["h"]
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]] + 128.0
+        # triangle ("fancy") upsampling, the libjpeg default that
+        # javax.imageio also uses: each output sample is 3/4 nearest +
+        # 1/4 next-nearest input sample, edges replicated — nearest
+        # replication would diverge from every mainstream decoder by
+        # tens of levels at chroma edges
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        for (factor, axis) in ((ry, 0), (rx, 1)):
+            if factor == 1:
+                continue
+            if factor != 2:  # non-2x ratios are rare; replicate
+                p = np.repeat(p, factor, axis=axis)
+                continue
+            s = np.swapaxes(p, 0, axis)
+            lo = np.concatenate([s[:1], s[:-1]])   # sample above/left
+            hi = np.concatenate([s[1:], s[-1:]])   # sample below/right
+            up = np.empty((2 * s.shape[0],) + s.shape[1:], np.float32)
+            up[0::2] = 0.75 * s + 0.25 * lo
+            up[1::2] = 0.75 * s + 0.25 * hi
+            p = np.swapaxes(up, 0, axis)
+        out_planes.append(p[:H, :W])
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(
+            np.uint8)[..., None]
+    elif len(out_planes) == 3:
+        y, cb, cr = out_planes
+        cb = cb - 128.0
+        cr = cr - 128.0
+        rgb = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+        px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        raise ImageDecodeError("unsupported component count %d"
+                               % len(out_planes))
+    return {"width": W, "height": H, "frames": 1,
+            "bpp": 8 * px.shape[2], "pixels": np.ascontiguousarray(px)}

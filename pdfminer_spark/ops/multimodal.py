@@ -1,14 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video cells are opaque ``binary`` columns. The decode step
-(``decode_media``) sniffs magic bytes and REALLY decodes two formats with
-pure numpy — uncompressed BMP (BITMAPINFOHEADER) and RIFF/WAVE PCM —
-yielding true width/height/pixel rows resp. sample-frame count/rate/
-duration/PCM samples. Payloads that are neither (e.g. the synthetic
-corpus's text stand-ins) fall back to the clearly marked deterministic
-fake (``_fake_decode``); compressed codecs (JPEG/PNG/MP3/H.264) would
-need PIL/ffmpeg, which are absent in this container, so those too take
-the documented fallback rather than a partial decode.
+(``decode_media``) sniffs magic bytes and REALLY decodes four formats
+with pure numpy/stdlib — uncompressed BMP (BITMAPINFOHEADER), RIFF/WAVE
+PCM, PNG (zlib + all five scanline filters; ``ops/imagedec.py``), and
+baseline-sequential JPEG (full ITU-T.81 Huffman/DCT path, triangle
+chroma upsampling; differentially tested against the JVM's
+javax.imageio) — yielding true width/height/pixel rows resp.
+sample-frame count/rate/duration/PCM samples. Payloads that are none of
+these (e.g. the synthetic corpus's text stand-ins) fall back to the
+clearly marked deterministic fake (``_fake_decode``); the remaining
+compressed codecs (progressive JPEG, interlaced PNG, MP3, H.264) would
+need a real codec stack absent in this container, so those take the
+documented fallback rather than a partial decode.
 
 Scale notes: doc_id is unique, so there is deliberately NO repartition
 before the mapInPandas — a shuffle of payload bytes ahead of a per-row
@@ -60,8 +64,9 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     """STUB decode: deterministic pseudo-decode of an opaque payload.
 
     Fallback for payloads that are not a format ``decode_media`` can
-    really parse (the synthetic corpus's text stand-ins, or compressed
-    codecs that would need PIL/ffmpeg — absent in this container).
+    really parse (the synthetic corpus's text stand-ins, or the codec
+    variants still needing a real codec stack — progressive JPEG,
+    interlaced PNG, MP3, H.264).
     Shapes are derived from a content digest so results are stable and
     testable."""
     h = hashlib.sha256(payload).digest()
@@ -158,14 +163,20 @@ def _decode_wav(b: bytes) -> dict:
 
 
 def decode_media(payload: bytes, kind: str) -> dict:
-    """Magic-byte-sniffing decode: real BMP/WAV parse when the payload
-    is one, deterministic fake otherwise. All results carry the common
-    ``width``/``height``/``frames`` contract the Spark schemas use; real
-    decodes additionally carry pixels / samples / rate / duration."""
+    """Magic-byte-sniffing decode: real BMP/WAV/PNG/baseline-JPEG parse
+    when the payload is one, deterministic fake otherwise. All results
+    carry the common ``width``/``height``/``frames`` contract the Spark
+    schemas use; real decodes additionally carry pixels / samples /
+    rate / duration."""
+    import struct
+
+    from pdfminer_spark.ops.imagedec import (ImageDecodeError, PNG_SIG,
+                                             decode_jpeg, decode_png)
+
     # a sniffed parse that fails falls BACK to the fake (ADVICE r5): an
-    # opaque payload whose text merely starts with "BM"/"RIFF..WAVE"
-    # must not fail the whole query — only direct _decode_bmp/_decode_wav
-    # calls (tests, known-format callers) keep raising.
+    # opaque payload whose text merely starts with a magic prefix must
+    # not fail the whole query — only direct decoder calls (tests,
+    # known-format callers) keep raising.
     if payload[:2] == b"BM":
         try:
             return _decode_bmp(payload)
@@ -175,6 +186,18 @@ def decode_media(payload: bytes, kind: str) -> dict:
         try:
             return _decode_wav(payload)
         except MediaDecodeError:
+            return _fake_decode(payload, kind)
+    if payload[:8] == PNG_SIG:
+        try:
+            return decode_png(payload)
+        except ImageDecodeError:
+            return _fake_decode(payload, kind)
+    if payload[:3] == b"\xff\xd8\xff":
+        try:
+            return decode_jpeg(payload)
+        except (ImageDecodeError, IndexError, struct.error):
+            # IndexError/struct.error: truncated marker stream — the
+            # parser reads declared lengths before validating them
             return _fake_decode(payload, kind)
     return _fake_decode(payload, kind)
 

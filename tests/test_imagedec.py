@@ -1,0 +1,265 @@
+"""PNG / baseline-JPEG decoder correctness (ops/imagedec.py).
+
+Three layers:
+* handcrafted PNGs (stdlib zlib + CRC) pin every scanline filter type,
+  sub-byte depths, and the palette path EXACTLY;
+* a differential oracle against the JVM's ``javax.imageio`` through the
+  Spark py4j gateway — the same bytes decoded by both stacks must agree
+  exactly for PNG (lossless) and within a small per-channel tolerance
+  for JPEG (the IDCT and chroma-upsampling rounding are
+  implementation-defined; javax.imageio wraps the IJG libjpeg code, the
+  de-facto reference);
+* hostile payloads (zlib bomb, terabyte-dimension headers, truncation)
+  must fail fast with ImageDecodeError — and fall back to the
+  deterministic fake through ``decode_media``, never hang or allocate.
+"""
+import struct
+import time
+import zlib
+
+import numpy as np
+import pytest
+
+from pdfminer_spark.ops.imagedec import (ImageDecodeError, decode_jpeg,
+                                         decode_png)
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(t: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body)))
+
+
+def _png(width, height, depth, colortype, raw, plte=b""):
+    out = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, depth,
+                             colortype, 0, 0, 0))
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_png_all_filter_types_exact():
+    rng = np.random.default_rng(1)
+    H, W, fpp = 5, 7, 3
+    img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(W * fpp, dtype=np.int32)
+    for y in range(H):
+        cur = img[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(fpp, int), cur[:-fpp]])
+        upleft = np.concatenate([np.zeros(fpp, int), prev[:-fpp]])
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = (cur - ((left + prev) // 2)) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (cur - pred) % 256
+        raw += bytes(enc.astype(np.uint8))
+        prev = cur
+    d = decode_png(_png(W, H, 8, 2, bytes(raw)))
+    assert (d["width"], d["height"], d["frames"]) == (W, H, 1)
+    assert np.array_equal(d["pixels"], img)
+
+
+def test_png_subbyte_gray_and_palette():
+    rng = np.random.default_rng(2)
+    # 1-bit grayscale scales to 0/255
+    bits = rng.integers(0, 2, (4, 10), dtype=np.uint8)
+    raw = b"".join(b"\x00" + np.packbits(r).tobytes() for r in bits)
+    d = decode_png(_png(10, 4, 1, 0, raw))
+    assert np.array_equal(d["pixels"][..., 0], bits * 255)
+    # 4-bit palette
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    raw = b"".join(
+        b"\x00" + bytes((int(r[i]) << 4) | (int(r[i + 1]) if i + 1 < 5
+                                            else 0)
+                        for i in range(0, 5, 2))
+        for r in idx)
+    d = decode_png(_png(5, 3, 4, 3, raw, plte=plte.tobytes()))
+    assert np.array_equal(d["pixels"], plte[idx])
+
+
+def test_png_zlib_bomb_bounded():
+    # 4x4 RGB declared, IDAT decompresses to 64 MB of zeros: the decoder
+    # must inflate only the expected (stride+1)*height bytes
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+    assert len(bomb) < 70000
+    t0 = time.time()
+    d = decode_png(_png(4, 4, 8, 2, b"")[:33]  # sig+IHDR
+                   + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    assert time.time() - t0 < 1.0
+    assert d["pixels"].shape == (4, 4, 3)
+
+
+def test_png_hostile_dimensions():
+    raw = b"\x00" * 100
+    with pytest.raises(ImageDecodeError):
+        decode_png(_png(0x800000, 0x800000, 8, 2, raw))
+
+
+def test_jpeg_hostile_dimensions_and_truncation():
+    # SOF0 declaring 65500x65500 must die on the dimension check,
+    # before any plane allocation
+    sof = struct.pack(">BHHB", 8, 65500, 65500, 1) + bytes([1, 0x11, 0])
+    data = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof)
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(data)
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xe0\x00\x02")  # no SOF/SOS at all
+
+
+def test_decode_media_falls_back_on_bad_magic():
+    from pdfminer_spark.ops.multimodal import decode_media
+
+    # magic-prefix lookalikes must take the deterministic fake, not fail
+    for payload in (PNG_SIG + b"garbage", b"\xff\xd8\xff then text"):
+        d = decode_media(payload, "image")
+        assert "pixels" not in d and d["frames"] == 1
+
+
+# -- differential oracle vs javax.imageio (JVM via the Spark gateway) --------
+
+
+def _jvm_tools(spark):
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def make_image(arr, itype):
+        h, w = arr.shape[:2]
+        bi = BI(w, h, itype)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(arr[y, x, 0]), int(arr[y, x, 1]),
+                           int(arr[y, x, 2]))
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        return bi
+
+    def encode(bi, fmt):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bi, fmt, baos)
+        return bytes(baos.toByteArray())
+
+    def jvm_rgb(data):
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(data))
+        w, h = bi.getWidth(), bi.getHeight()
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                v = bi.getRGB(x, y)
+                out[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+        return out
+
+    def jvm_raster(data, band=0):
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(data))
+        r = bi.getRaster()
+        out = np.zeros((bi.getHeight(), bi.getWidth()), np.int32)
+        for y in range(out.shape[0]):
+            for x in range(out.shape[1]):
+                out[y, x] = r.getSample(x, y, band)
+        return out
+
+    return (BI, make_image, encode, jvm_rgb, jvm_raster)
+
+
+@pytest.fixture(scope="module")
+def _img(spark):
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:17, 0:24]
+    noisy = np.stack([(xx * 10) % 256, (yy * 13) % 256,
+                      ((xx + yy) * 7) % 256], axis=-1)
+    noisy = np.clip(noisy + rng.integers(-8, 9, noisy.shape),
+                    0, 255).astype(np.uint8)
+    return (spark, noisy)
+
+
+def test_png_rgb_matches_imageio_exactly(_img):
+    (spark, noisy) = _img
+    (BI, make_image, encode, _, _) = _jvm_tools(spark)
+    png = encode(make_image(noisy, BI.TYPE_INT_RGB), "png")
+    assert np.array_equal(decode_png(png)["pixels"], noisy)
+
+
+def test_png_palette_matches_imageio(_img):
+    (spark, noisy) = _img
+    (BI, make_image, encode, jvm_rgb, _) = _jvm_tools(spark)
+    png = encode(make_image(noisy, BI.TYPE_BYTE_INDEXED), "png")
+    # indexed quantizes the colors; both stacks decode the SAME bytes,
+    # so agreement must still be exact
+    assert np.array_equal(decode_png(png)["pixels"], jvm_rgb(png))
+
+
+def test_jpeg_color_within_tolerance_of_imageio(_img):
+    (spark, noisy) = _img
+    (BI, make_image, encode, jvm_rgb, _) = _jvm_tools(spark)
+    jpg = encode(make_image(noisy, BI.TYPE_INT_RGB), "jpg")
+    ours = decode_jpeg(jpg)["pixels"]
+    theirs = jvm_rgb(jpg)
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    # hard content (mod-256 wrap edges + noise): rounding inside ringing
+    # regions amplifies — measured mean 0.49 / max 12 (bounds 3x / +12)
+    assert diff.mean() <= 1.5 and diff.max() <= 24, \
+        (diff.mean(), diff.max())
+
+
+def test_jpeg_smooth_within_tight_tolerance(_img):
+    (spark, _) = _img
+    (BI, make_image, encode, jvm_rgb, _) = _jvm_tools(spark)
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([128 + 100 * np.sin(xx / 9) * np.cos(yy / 7),
+                    128 + 90 * np.cos(xx / 11),
+                    128 + 80 * np.sin((xx + yy) / 13)], axis=-1)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    jpg = encode(make_image(img, BI.TYPE_INT_RGB), "jpg")
+    diff = np.abs(decode_jpeg(jpg)["pixels"].astype(int)
+                  - jvm_rgb(jpg).astype(int))
+    # measured mean 0.46 / max 4
+    assert diff.mean() <= 1.0 and diff.max() <= 8, \
+        (diff.mean(), diff.max())
+
+
+def test_jpeg_grayscale_matches_raster(_img):
+    (spark, _) = _img
+    (BI, _, encode, _, jvm_raster) = _jvm_tools(spark)
+    jvm = spark._jvm
+    yy, xx = np.mgrid[0:17, 0:24]
+    gray = ((xx * 11 + yy * 5) % 256).astype(np.uint8)
+    bi = BI(24, 17, BI.TYPE_BYTE_GRAY)
+    for y in range(17):
+        for x in range(24):
+            v = int(gray[y, x])
+            bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    jpg = encode(bi, "jpg")
+    ours = decode_jpeg(jpg)["pixels"][..., 0].astype(int)
+    # raster samples, not getRGB: TYPE_BYTE_GRAY getRGB converts the
+    # linear-light samples to sRGB, which neither decoder emits
+    diff = np.abs(ours - jvm_raster(jpg))
+    assert diff.max() <= 2, diff.max()  # measured max 1
+    assert jvm is not None
+
+
+def test_decode_media_dispatches_png_and_jpeg(_img):
+    from pdfminer_spark.ops.multimodal import decode_media
+
+    (spark, noisy) = _img
+    (BI, make_image, encode, _, _) = _jvm_tools(spark)
+    png = encode(make_image(noisy, BI.TYPE_INT_RGB), "png")
+    jpg = encode(make_image(noisy, BI.TYPE_INT_RGB), "jpg")
+    for data in (png, jpg):
+        d = decode_media(data, "image")
+        assert (d["width"], d["height"]) == (24, 17)
+        assert d["pixels"].shape == (17, 24, 3)
