@@ -10,9 +10,9 @@ javax.imageio) — yielding true width/height/pixel rows resp.
 sample-frame count/rate/duration/PCM samples. Payloads that are none of
 these (e.g. the synthetic corpus's text stand-ins) fall back to the
 clearly marked deterministic fake (``_fake_decode``); the remaining
-compressed codecs (progressive JPEG, interlaced PNG, MP3, H.264) would
-need a real codec stack absent in this container, so those take the
-documented fallback rather than a partial decode.
+compressed codecs (progressive JPEG, MP3, H.264) would need a real
+codec stack absent in this container, so those take the documented
+fallback rather than a partial decode.
 
 Scale notes: doc_id is unique, so there is deliberately NO repartition
 before the mapInPandas — a shuffle of payload bytes ahead of a per-row
@@ -65,8 +65,8 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
     Fallback for payloads that are not a format ``decode_media`` can
     really parse (the synthetic corpus's text stand-ins, or the codec
-    variants still needing a real codec stack — progressive JPEG,
-    interlaced PNG, MP3, H.264).
+    variants still needing a real codec stack — progressive JPEG, MP3,
+    H.264).
     Shapes are derived from a content digest so results are stable and
     testable."""
     h = hashlib.sha256(payload).digest()
@@ -453,9 +453,95 @@ ORACLES["media_frame_sample"] = """
     FROM frames, (SELECT UNNEST(RANGE(0, %(k)d)) AS j)
 """ % {"h2": _hexbyte_sql("dig", 2), "k": _FRAME_SAMPLES}
 
+_PNG_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("bpp", T.IntegerType()),
+    T.StructField("frames", T.IntegerType()),
+    T.StructField("pixel_sum", T.LongType()),
+])
+
+
+def _png_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+    import zlib
+
+    def build_png(doc_id: int) -> bytes:
+        w = 8 + doc_id % 16
+        h = 8 + (doc_id // 16) % 8
+        xx = np.arange(w)[None, :, None]
+        yy = np.arange(h)[:, None, None]
+        cc = np.arange(3)[None, None, :]
+        px = ((xx * 3 + yy * 5 + cc * 7 + doc_id) % 256).astype(np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(t, body):
+            return (struct.pack(">I", len(body)) + t + body
+                    + struct.pack(">I", zlib.crc32(t + body)))
+
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            meta = decode_media(build_png(int(doc_id)), "image")
+            px = meta.get("pixels")
+            rows.append((int(doc_id), meta["width"], meta["height"],
+                         meta.get("bpp", -1), meta["frames"],
+                         int(px.sum()) if px is not None else -1))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "bpp", "frames", "pixel_sum"])
+
+
+def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode through the driver's oracle gate:
+    per document, build a small RGB PNG executor-side from a closed-form
+    pixel function of doc_id, run it through ``decode_media`` (magic
+    sniff -> ops/imagedec.decode_png -> pixels), and emit the decoded
+    dimensions plus the integer sum over every decoded pixel byte. The
+    DuckDB oracle recomputes the sum from the closed form alone — it
+    never sees the PNG bytes — so equality holds only if the full
+    compress -> chunk -> inflate -> unfilter path is byte-perfect. A
+    fallback to the deterministic fake surfaces as pixel_sum=-1, a
+    visible hash mismatch, never a silent pass.
+
+    Scale: one map-side stage on the scan partitions (doc_id is unique,
+    a shuffle would move bytes for nothing); per-row work is bounded by
+    the fixed <=23x15 synthetic image size."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id").mapInPandas(
+        _png_decode_batches, schema=_PNG_DECODE_SCHEMA)
+
+
+ORACLES["media_decode_png"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 + doc_id % 16)::INT AS width,
+             (8 + (doc_id // 16) % 8)::INT AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             SUM((x * 3 + y * 5 + c * 7 + doc_id) % 256) AS pixel_sum
+      FROM dims,
+           (SELECT UNNEST(RANGE(0, 24)) AS x),
+           (SELECT UNNEST(RANGE(0, 16)) AS y),
+           (SELECT UNNEST(RANGE(0, 3)) AS c)
+      WHERE x < width AND y < height
+      GROUP BY doc_id, width, height
+    )
+    SELECT doc_id, width, height, 24::INT AS bpp, 1::INT AS frames,
+           pixel_sum::BIGINT AS pixel_sum
+    FROM px
+"""
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
+    "media_decode_png": media_decode_png,
 }
