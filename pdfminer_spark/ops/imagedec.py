@@ -11,8 +11,10 @@ is lossless; within a small per-channel tolerance for JPEG, whose IDCT
 is implementation-defined).
 
 Out of scope (still the documented fallback in ``decode_media``):
-interlaced (Adam7) PNG, progressive/arithmetic/12-bit JPEG, and the
-video/audio compressed codecs (MP3/H.264 need a real codec stack).
+sub-byte-depth interlaced PNG, progressive/arithmetic/12-bit JPEG, and
+the video/audio compressed codecs (MP3/H.264 need a real codec stack).
+Adam7-interlaced PNG at byte depths IS decoded (all seven passes,
+independent per-pass filtering).
 
 Returned dict follows the ``decode_media`` contract: ``width``,
 ``height``, ``frames`` plus ``pixels`` (H x W x C uint8, C in {1,3,4}).
@@ -93,10 +95,10 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int,
 
 
 def decode_png(b: bytes) -> dict:
-    """Decode a non-interlaced PNG (bit depths 1/2/4/8/16; color types
-    gray / RGB / palette / gray+alpha / RGBA). 16-bit samples are
-    truncated to their high byte (the 8-bit view javax.imageio also
-    presents through getRGB)."""
+    """Decode a PNG (bit depths 1/2/4/8/16; color types gray / RGB /
+    palette / gray+alpha / RGBA; interlace none or Adam7 for byte-wide
+    depths). 16-bit samples are truncated to their high byte (the 8-bit
+    view javax.imageio also presents through getRGB)."""
     if b[:8] != PNG_SIG:
         raise ImageDecodeError("not a PNG signature")
     pos = 8
@@ -125,8 +127,8 @@ def decode_png(b: bytes) -> dict:
     (width, height, depth, colortype, comp, filt, interlace) = ihdr
     if comp != 0 or filt != 0:
         raise ImageDecodeError("unknown compression/filter method")
-    if interlace != 0:
-        raise ImageDecodeError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ImageDecodeError("unknown interlace method")
     if colortype not in _PNG_CHANNELS:
         raise ImageDecodeError("bad color type %d" % colortype)
     if depth not in (1, 2, 4, 8, 16) or (
@@ -138,9 +140,27 @@ def decode_png(b: bytes) -> dict:
         raise ImageDecodeError("bad dimensions")
     channels = _PNG_CHANNELS[colortype]
     bits_pp = depth * channels
-    stride = (width * bits_pp + 7) // 8
     fpp = max(bits_pp // 8, 1)  # filter unit, spec §6
-    need = (stride + 1) * height
+    if interlace == 1:
+        if depth < 8:
+            raise ImageDecodeError(
+                "sub-byte interlaced PNG not supported")
+        # Adam7 (spec §8.2): 7 independent sub-images, each with its
+        # own scanline filtering, at (x0, dx, y0, dy) offsets
+        passes = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+                  (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+        dims = []
+        need = 0
+        for (x0, dx, y0, dy) in passes:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            pstride = pw * (bits_pp // 8)
+            dims.append((pw, ph, pstride))
+            if pw and ph:
+                need += (pstride + 1) * ph
+    else:
+        stride = (width * bits_pp + 7) // 8
+        need = (stride + 1) * height
     try:
         # decompress EXACTLY the expected pixel bytes: plain
         # zlib.decompress would expand a crafted IDAT without bound
@@ -151,9 +171,25 @@ def decode_png(b: bytes) -> dict:
         raise ImageDecodeError("IDAT: %s" % e) from None
     if len(raw) < need:
         raise ImageDecodeError("decompressed data too short")
-    arr = _png_unfilter(
-        np.frombuffer(raw, np.uint8, count=(stride + 1) * height),
-        height, stride, fpp)
+    bpsample = 2 if depth == 16 else 1
+    if interlace == 1:
+        grid = np.zeros((height, width, channels * bpsample), np.uint8)
+        off = 0
+        for ((x0, dx, y0, dy), (pw, ph, pstride)) in zip(passes, dims):
+            if not (pw and ph):
+                continue
+            n = (pstride + 1) * ph
+            sub = _png_unfilter(
+                np.frombuffer(raw, np.uint8, count=n, offset=off),
+                ph, pstride, fpp)
+            grid[y0::dy, x0::dx] = sub.reshape(
+                ph, pw, channels * bpsample)
+            off += n
+        arr = grid.reshape(height, -1)
+    else:
+        arr = _png_unfilter(
+            np.frombuffer(raw, np.uint8, count=need),
+            height, stride, fpp)
     if depth < 8:
         # unpack sub-byte samples, then scale/palette below
         bits = np.unpackbits(arr, axis=1)[:, :width * depth]

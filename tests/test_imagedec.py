@@ -92,6 +92,27 @@ def test_png_subbyte_gray_and_palette():
     assert np.array_equal(d["pixels"], plte[idx])
 
 
+def test_png_adam7_handcrafted_exact():
+    passes = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+    rng = np.random.default_rng(3)
+    for (H, W) in [(13, 19), (1, 1), (7, 8), (2, 2)]:
+        img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        raw = bytearray()
+        for (x0, dx, y0, dy) in passes:
+            sub = img[y0::dy, x0::dx]
+            if 0 in sub.shape[:2]:
+                continue  # empty passes emit no scanlines (spec §8.2)
+            for row in sub:
+                raw.append(0)
+                raw += row.tobytes()
+        out = PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 1))
+        out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += _chunk(b"IEND", b"")
+        assert np.array_equal(decode_png(out)["pixels"], img), (H, W)
+
+
 def test_png_zlib_bomb_bounded():
     # 4x4 RGB declared, IDAT decompresses to 64 MB of zeros: the decoder
     # must inflate only the expected (stride+1)*height bytes
@@ -201,6 +222,28 @@ def test_png_palette_matches_imageio(_img):
     # indexed quantizes the colors; both stacks decode the SAME bytes,
     # so agreement must still be exact
     assert np.array_equal(decode_png(png)["pixels"], jvm_rgb(png))
+
+
+def test_png_adam7_matches_imageio_exactly(_img):
+    """javax.imageio's progressive mode writes Adam7 with REAL per-pass
+    scanline filtering (unlike the filter-0 handcrafted case)."""
+    (spark, noisy) = _img
+    (BI, make_image, _, _, _) = _jvm_tools(spark)
+    jvm = spark._jvm
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    writer = writers.next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(
+        make_image(noisy, BI.TYPE_INT_RGB), None, None), param)
+    ios.flush()
+    png = bytes(baos.toByteArray())
+    writer.dispose()
+    assert png[28] == 1, "writer did not produce an interlaced PNG"
+    assert np.array_equal(decode_png(png)["pixels"], noisy)
 
 
 def test_jpeg_color_within_tolerance_of_imageio(_img):
