@@ -10,11 +10,12 @@ JVM's ``javax.imageio`` through the Spark gateway (exact for PNG, which
 is lossless; within a small per-channel tolerance for JPEG, whose IDCT
 is implementation-defined).
 
-Out of scope (still the documented fallback in ``decode_media``):
-sub-byte-depth interlaced PNG, progressive/arithmetic/12-bit JPEG, and
-the video/audio compressed codecs (MP3/H.264 need a real codec stack).
-Adam7-interlaced PNG at byte depths IS decoded (all seven passes,
-independent per-pass filtering).
+In scope: sequential AND progressive (SOF2, spectral selection +
+successive approximation) JPEG; non-interlaced and Adam7-interlaced
+PNG. Out of scope (still the documented fallback in ``decode_media``):
+sub-byte-depth interlaced PNG, arithmetic/12-bit/lossless/hierarchical
+JPEG, and the video/audio compressed codecs (MP3/H.264 need a real
+codec stack).
 
 Returned dict follows the ``decode_media`` contract: ``width``,
 ``height``, ``frames`` plus ``pixels`` (H x W x C uint8, C in {1,3,4}).
@@ -112,6 +113,8 @@ def decode_png(b: bytes) -> dict:
         if len(body) != length:
             raise ImageDecodeError("PNG chunk truncated")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ImageDecodeError("IHDR must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             if length % 3:
@@ -292,11 +295,205 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _collect_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos``: 0xFF00 stuffing stripped, split
+    into segments on restart markers. Returns (segments, next_pos) with
+    next_pos at the first real marker after the scan."""
+    segments = []
+    cur = bytearray()
+    i = pos
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+    return (segments, i)
+
+
+def _decode_block_seq(reader, block, dc_tab, ac_tab, pred, cid):
+    """Sequential block: full DC diff + AC run-length (spec F.2.2)."""
+    t = reader.decode(dc_tab)
+    pred[cid] += _extend(reader.read(t), t) if t else 0
+    block[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = reader.decode(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ImageDecodeError("AC index overflow")
+        block[k] = _extend(reader.read(s), s)
+        k += 1
+
+
+def _decode_block_ac_first(reader, block, ac_tab, Ss, Se, Al, eobrun):
+    """Progressive AC initial scan for one block (spec G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = reader.decode(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ImageDecodeError("AC index overflow")
+        block[k] = _extend(reader.read(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _decode_block_ac_refine(reader, block, ac_tab, Ss, Se, Al, eobrun):
+    """Progressive AC refinement for one block (spec G.1.2.3): new
+    coefficients appear at +-(1<<Al); every already-nonzero coefficient
+    passed over consumes one correction bit."""
+    p1, m1 = 1 << Al, -1 << Al
+
+    def correct(k):
+        if reader.read(1) and not (block[k] & p1):
+            block[k] += p1 if block[k] >= 0 else m1
+
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.decode(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: ZRL in refinement — skip 16 zero-history
+                # coefficients
+                newval = 0
+            elif s == 1:
+                newval = p1 if reader.read(1) else m1
+            else:
+                raise ImageDecodeError("bad refinement size")
+            while k <= Se:
+                if block[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if block[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(segments, order, band, huff, coefs, geo, mcu_dims,
+                 restart_interval, progressive):
+    """One scan's entropy data into the coefficient arrays.
+
+    Sequential: full blocks, MCU-interleaved (or single-component over
+    the unpadded block grid when ns=1). Progressive: the (Ss, Se, Ah,
+    Al) band selects DC-first / DC-refine / AC-first / AC-refine
+    semantics. DC predictors and the EOB run reset at restart markers
+    (segment boundaries)."""
+    (Ss, Se, Ah, Al) = band
+    (mcux, mcuy) = mcu_dims
+    interleaved = len(order) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        (bw, bh) = geo[order[0][0]["id"]]
+        units = bw * bh
+    # table presence by scan kind (a DC-refinement scan needs none)
+    tabs = []
+    for (c, td, ta) in order:
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        if Ss == 0 and Ah == 0 and dc_tab is None:
+            raise ImageDecodeError("missing DC table")
+        if (not progressive or Ss > 0) and ac_tab is None:
+            raise ImageDecodeError("missing AC table")
+        tabs.append((c, dc_tab, ac_tab))
+    per_seg = restart_interval or units
+    unit = 0
+    for seg in segments:
+        if unit >= units:
+            break
+        reader = _BitReader(seg)
+        pred = {c["id"]: 0 for (c, _, _) in tabs}
+        eobrun = 0
+        for _ in range(min(per_seg, units - unit)):
+            if interleaved:
+                (my, mx) = divmod(unit, mcux)
+                blocks = [
+                    (c, dc, ac,
+                     coefs[c["id"]][my * c["v"] + v, mx * c["h"] + hn])
+                    for (c, dc, ac) in tabs
+                    for v in range(c["v"]) for hn in range(c["h"])
+                ]
+            else:
+                (c, dc, ac) = tabs[0]
+                (bw, _bh) = geo[c["id"]]
+                (by, bx) = divmod(unit, bw)
+                blocks = [(c, dc, ac, coefs[c["id"]][by, bx])]
+            for (c, dc_tab, ac_tab, block) in blocks:
+                if not progressive:
+                    _decode_block_seq(reader, block, dc_tab, ac_tab,
+                                      pred, c["id"])
+                elif Ss == 0 and Ah == 0:  # DC first
+                    t = reader.decode(dc_tab)
+                    pred[c["id"]] += _extend(reader.read(t), t) if t else 0
+                    block[0] = pred[c["id"]] << Al
+                elif Ss == 0:  # DC refinement: one bit per block
+                    if reader.read(1):
+                        block[0] |= 1 << Al
+                elif Ah == 0:
+                    eobrun = _decode_block_ac_first(
+                        reader, block, ac_tab, Ss, Se, Al, eobrun)
+                else:
+                    eobrun = _decode_block_ac_refine(
+                        reader, block, ac_tab, Ss, Se, Al, eobrun)
+            unit += 1
+
+
 def decode_jpeg(b: bytes) -> dict:
-    """Decode a baseline sequential JPEG (SOF0; 8-bit; 1 or 3
-    components; restart markers supported). Progressive (SOF2) and
-    other SOFn variants raise. Output is H x W x 3 RGB for YCbCr (JFIF
-    BT.601 conversion) or H x W x 1 for grayscale."""
+    """Decode a baseline sequential (SOF0/1) or progressive (SOF2) JPEG
+    (8-bit; 1 or 3 components; restart markers; successive approximation
+    and spectral selection per ITU-T.81 annex G). Other SOFn variants
+    (lossless, arithmetic, hierarchical, 12-bit) raise. Output is
+    H x W x 3 RGB for YCbCr (JFIF BT.601 conversion) or H x W x 1 for
+    grayscale. Scans are decoded into per-component coefficient arrays
+    with whatever tables are current at their SOS (progressive streams
+    redefine DHT between scans); dequantization + one vectorized einsum
+    IDCT run at the end."""
     if b[:3] != b"\xff\xd8\xff":
         raise ImageDecodeError("not a JPEG SOI")
     qt: dict[int, np.ndarray] = {}
@@ -304,12 +501,21 @@ def decode_jpeg(b: bytes) -> dict:
     frame = None
     restart_interval = 0
     pos = 2
-    scan = None
-    while pos + 4 <= len(b):
+    coefs: dict[int, np.ndarray] = {}
+    geo: dict[int, tuple] = {}
+    n_scans = 0
+    progressive = False
+    (mcux, mcuy, hmax, vmax) = (0, 0, 1, 1)
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ImageDecodeError("marker expected")
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if pos + 4 > len(b):
             break
         (seglen,) = struct.unpack_from(">H", b, pos + 2)
         body = b[pos + 4:pos + 2 + seglen]
@@ -334,7 +540,8 @@ def decode_jpeg(b: bytes) -> dict:
                 huff[(tc, th)] = _Huffman(
                     counts, body[i + 17:i + 17 + nvals])
                 i += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             (prec, height, width, ncomp) = struct.unpack_from(">BHHB", body)
             if prec != 8:
                 raise ImageDecodeError("only 8-bit precision")
@@ -355,116 +562,69 @@ def decode_jpeg(b: bytes) -> dict:
                    or max(c["v"] for c in comps) % c["v"] for c in comps):
                 raise ImageDecodeError("non-integer sampling ratio")
             frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # true (unpadded) block grid per spec A.2.2, plus the
+                # MCU-padded allocation interleaved scans write into
+                sx = (width * c["h"] + hmax - 1) // hmax
+                sy = (height * c["v"] + vmax - 1) // vmax
+                geo[c["id"]] = ((sx + 7) // 8, (sy + 7) // 8)
+                coefs[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
-                "non-baseline SOF 0x%02X not supported" % marker)
+                "unsupported SOF 0x%02X (lossless/arith/hier)" % marker)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ImageDecodeError("SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            by_id = {c["id"]: c for c in frame["comps"]}
+            order = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
-                scan_comps.append({"cs": cs, "td": tables >> 4,
-                                   "ta": tables & 15})
-            scan = (scan_comps, pos)
-            break
-    if frame is None or scan is None:
+                comp = by_id.get(cs)
+                if comp is None:
+                    raise ImageDecodeError(
+                        "scan references unknown component")
+                order.append((comp, tables >> 4, tables & 15))
+            (Ss, Se, AhAl) = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            (Ah, Al) = (AhAl >> 4, AhAl & 15)
+            if not progressive:
+                (Ss, Se, Ah, Al) = (0, 63, 0, 0)
+            if Ss > Se or Se > 63 or (Ss == 0 and progressive and Se != 0):
+                raise ImageDecodeError("bad spectral selection")
+            if Ss > 0 and len(order) != 1:
+                raise ImageDecodeError("interleaved AC scan")
+            (segments, pos) = _collect_entropy(b, pos)
+            _decode_scan(segments, order, (Ss, Se, Ah, Al), huff, coefs,
+                         geo, (mcux, mcuy), restart_interval, progressive)
+            n_scans += 1
+    if frame is None or n_scans == 0:
         raise ImageDecodeError("missing SOF/SOS")
-    (scan_comps, data_start) = scan
-
-    # entropy-coded data: strip stuffing, split on restart markers
-    segments = []
-    cur = bytearray()
-    i = data_start
-    while i < len(b):
-        byte = b[i]
-        if byte == 0xFF:
-            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(byte)
-        i += 1
-    segments.append(bytes(cur))
-
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for sc in scan_comps:
-        c = by_id.get(sc["cs"])
-        if c is None:
-            raise ImageDecodeError("scan references unknown component")
-        order.append((c, sc["td"], sc["ta"]))
-
-    # per-component coefficient planes (in 8x8 blocks)
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                          np.float32)
-        for c in comps
-    }
-    n_mcu = mcux * mcuy
-    per_seg = restart_interval or n_mcu
-    mcu = 0
-    for seg in segments:
-        if mcu >= n_mcu:
-            break
-        reader = _BitReader(seg)
-        pred = {c["id"]: 0 for c in comps}
-        for _ in range(min(per_seg, n_mcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for (c, td, ta) in order:
-                dc_tab = huff.get((0, td))
-                ac_tab = huff.get((1, ta))
-                q = qt.get(c["tq"])
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ImageDecodeError("missing table for component")
-                for v in range(c["v"]):
-                    for hn in range(c["h"]):
-                        coef = np.zeros(64, np.int32)
-                        t = reader.decode(dc_tab)
-                        diff = _extend(reader.read(t), t) if t else 0
-                        pred[c["id"]] += diff
-                        coef[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ImageDecodeError("AC index overflow")
-                            coef[k] = _extend(reader.read(s), s)
-                            k += 1
-                        block = np.zeros(64, np.float32)
-                        block[_ZIGZAG] = (coef * q).astype(np.float32)
-                        blk8 = block.reshape(8, 8)
-                        spatial = _DCT_C.T @ blk8 @ _DCT_C
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + hn) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
-            mcu += 1
 
     W, H = frame["w"], frame["h"]
     out_planes = []
     for c in comps:
-        p = planes[c["id"]] + 128.0
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ImageDecodeError("missing quantization table")
+        cf = coefs[c["id"]]
+        (bh, bw) = cf.shape[:2]
+        deq = (cf.reshape(-1, 64) * q).astype(np.float32)
+        blocks = np.zeros((deq.shape[0], 64), np.float32)
+        blocks[:, _ZIGZAG] = deq
+        spatial = np.einsum("ij,njk,kl->nil", _DCT_C.T,
+                            blocks.reshape(-1, 8, 8), _DCT_C,
+                            optimize=True)
+        p = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh * 8, bw * 8) + 128.0
         # triangle ("fancy") upsampling, the libjpeg default that
         # javax.imageio also uses: each output sample is 3/4 nearest +
         # 1/4 next-nearest input sample, edges replicated — nearest

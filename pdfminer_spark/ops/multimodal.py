@@ -3,16 +3,17 @@
 Image/audio/video cells are opaque ``binary`` columns. The decode step
 (``decode_media``) sniffs magic bytes and REALLY decodes four formats
 with pure numpy/stdlib — uncompressed BMP (BITMAPINFOHEADER), RIFF/WAVE
-PCM, PNG (zlib + all five scanline filters; ``ops/imagedec.py``), and
-baseline-sequential JPEG (full ITU-T.81 Huffman/DCT path, triangle
+PCM, PNG (zlib + all five scanline filters, Adam7 interlace;
+``ops/imagedec.py``), and JPEG — sequential AND progressive SOF2 (full
+ITU-T.81 Huffman/DCT path incl. successive approximation, triangle
 chroma upsampling; differentially tested against the JVM's
 javax.imageio) — yielding true width/height/pixel rows resp.
 sample-frame count/rate/duration/PCM samples. Payloads that are none of
 these (e.g. the synthetic corpus's text stand-ins) fall back to the
 clearly marked deterministic fake (``_fake_decode``); the remaining
-compressed codecs (progressive JPEG, MP3, H.264) would need a real
-codec stack absent in this container, so those take the documented
-fallback rather than a partial decode.
+compressed codecs (MP3, H.264) would need a real codec stack absent in
+this container, so those take the documented fallback rather than a
+partial decode.
 
 Scale notes: doc_id is unique, so there is deliberately NO repartition
 before the mapInPandas — a shuffle of payload bytes ahead of a per-row
@@ -65,8 +66,7 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
     Fallback for payloads that are not a format ``decode_media`` can
     really parse (the synthetic corpus's text stand-ins, or the codec
-    variants still needing a real codec stack — progressive JPEG, MP3,
-    H.264).
+    variants still needing a real codec stack — MP3, H.264).
     Shapes are derived from a content digest so results are stable and
     testable."""
     h = hashlib.sha256(payload).digest()
@@ -190,7 +190,7 @@ def decode_media(payload: bytes, kind: str) -> dict:
     if payload[:8] == PNG_SIG:
         try:
             return decode_png(payload)
-        except ImageDecodeError:
+        except (ImageDecodeError, IndexError, struct.error):
             return _fake_decode(payload, kind)
     if payload[:3] == b"\xff\xd8\xff":
         try:

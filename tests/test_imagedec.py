@@ -142,6 +142,32 @@ def test_jpeg_hostile_dimensions_and_truncation():
         decode_jpeg(b"\xff\xd8\xff\xe0\x00\x02")  # no SOF/SOS at all
 
 
+def test_image_mutation_fuzz_never_escapes():
+    """600 corrupted PNG/JPEG payloads through decode_media: every one
+    must return a dict (real decode of the survivable mutants, fake
+    fallback otherwise) — no exception, no hang, no huge allocation."""
+    from pdfminer_spark.ops.multimodal import decode_media
+
+    rng = np.random.default_rng(11)
+    h, w = 9, 12
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    png = _png(w, h, 8, 2, raw)
+    # minimal valid JPEG via the same fixture-building path used by the
+    # jvm tests would need a session; corrupting a PNG re-tagged with
+    # the JPEG magic exercises the whole JPEG marker parser instead
+    fake_jpg = b"\xff\xd8\xff" + bytes(png[3:])
+    t0 = time.time()
+    for i in range(600):
+        base = png if i % 2 == 0 else fake_jpg
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 12)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        d = decode_media(bytes(buf), "image")
+        assert isinstance(d, dict) and "frames" in d
+    assert time.time() - t0 < 30.0
+
+
 def test_decode_media_falls_back_on_bad_magic():
     from pdfminer_spark.ops.multimodal import decode_media
 
@@ -273,6 +299,54 @@ def test_jpeg_smooth_within_tight_tolerance(_img):
     # measured mean 0.46 / max 4
     assert diff.mean() <= 1.0 and diff.max() <= 8, \
         (diff.mean(), diff.max())
+
+
+def _encode_progressive(spark, bi, fmt):
+    jvm = spark._jvm
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+    writer = writers.next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_jpeg_matches_imageio(_img):
+    """SOF2 multi-scan with spectral selection + successive
+    approximation: a correct progressive decode reconstructs the SAME
+    quantized coefficients as the baseline encoding of the image, so
+    agreement with the JVM decoder must match the baseline tolerances
+    exactly."""
+    (spark, noisy) = _img
+    (BI, make_image, _, jvm_rgb, _) = _jvm_tools(spark)
+    jpg = _encode_progressive(
+        spark, make_image(noisy, BI.TYPE_INT_RGB), "jpg")
+    assert b"\xff\xc2" in jpg  # really SOF2
+    diff = np.abs(decode_jpeg(jpg)["pixels"].astype(int)
+                  - jvm_rgb(jpg).astype(int))
+    assert diff.mean() <= 1.5 and diff.max() <= 24, \
+        (diff.mean(), diff.max())
+
+
+def test_progressive_jpeg_gray_matches_raster(_img):
+    (spark, _) = _img
+    (BI, _, _, _, jvm_raster) = _jvm_tools(spark)
+    yy, xx = np.mgrid[0:17, 0:24]
+    gray = ((xx * 11 + yy * 5) % 256).astype(np.uint8)
+    bi = BI(24, 17, BI.TYPE_BYTE_GRAY)
+    for y in range(17):
+        for x in range(24):
+            v = int(gray[y, x])
+            bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    jpg = _encode_progressive(spark, bi, "jpg")
+    assert b"\xff\xc2" in jpg
+    ours = decode_jpeg(jpg)["pixels"][..., 0].astype(int)
+    assert np.abs(ours - jvm_raster(jpg)).max() <= 2
 
 
 def test_jpeg_grayscale_matches_raster(_img):
