@@ -121,6 +121,11 @@ AUDITS = [
      "identical shape): deciles come from a BroadcastHashJoin against "
      "the bounded (weight -> decile) map — no unpartitioned Window, no "
      "global sort anywhere in the plan."),
+    ("media_decode_png",
+     "ONE map-side MapInPandas stage directly on the documents scan "
+     "(doc_id-only ReadSchema — column pruning drops the text payload "
+     "entirely); zero exchanges: the PNG build + real decode is per-row "
+     "independent, so a shuffle would move bytes for nothing."),
 ]
 
 def main() -> None:
