@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
+        # r7 late: decode_media gained real PNG/JPEG dispatch and
+        # media_decode_png is brand new — the whole multimodal family
+        # needs fresh driver rows
+        "media_decode_png", "media_features", "media_metadata",
+        "media_resize", "media_frame_sample",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)
