@@ -123,10 +123,35 @@ def _decode_bmp(b: bytes) -> dict:
             "bpp": bpp, "pixels": np.ascontiguousarray(rows[:, :used])}
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """mu-law byte -> linear int16, ITU-T G.711 decoder expansion (the
+    same closed form every telephony stack ships as a 256-entry table)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF  # transmitted complemented
+    sign = u >> 7
+    exponent = (u >> 4) & 7
+    mantissa = u & 15
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """A-law byte -> linear int16 (G.711; even bits inverted on the
+    wire per the 0x55 convention)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80  # set AFTER the XOR = positive (G.711 table 2)
+    exponent = (a >> 4) & 7
+    mantissa = a & 15
+    mag = np.where(exponent == 0, (mantissa << 4) + 8,
+                   ((mantissa << 4) + 0x108) << (exponent - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
 def _decode_wav(b: bytes) -> dict:
-    """Real decode of a RIFF/WAVE PCM payload: chunk walk for fmt/data,
-    true sample-frame count, rate, channel count, duration, and the PCM
-    samples (int16 or uint8). Pure numpy — no audio library involved."""
+    """Real decode of a RIFF/WAVE payload: chunk walk for fmt/data, true
+    sample-frame count, rate, channel count, duration, and the samples —
+    linear PCM (int16 / uint8) plus the G.711 companded telephony
+    formats (format 6 = A-law, 7 = mu-law), expanded to int16 through
+    the spec tables. Pure numpy — no audio library involved."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -148,14 +173,27 @@ def _decode_wav(b: bytes) -> dict:
     if fmt is None or data is None:
         raise MediaDecodeError("missing fmt/data chunk")
     audio_format, channels, rate, _byterate, block_align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise MediaDecodeError("PCM 8/16-bit only")
+    if audio_format == 1:
+        if bits not in (8, 16):
+            raise MediaDecodeError("PCM 8/16-bit only")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise MediaDecodeError("G.711 is 8-bit by definition")
+    else:
+        raise MediaDecodeError("unsupported WAVE format %d" % audio_format)
     if channels < 1 or rate < 1 or block_align != channels * (bits // 8):
         raise MediaDecodeError("inconsistent fmt chunk")
     n_frames = len(data) // block_align
-    dtype = np.int16 if bits == 16 else np.uint8
-    samples = np.frombuffer(
-        data, dtype=dtype, count=n_frames * channels)
+    if audio_format == 1:
+        dtype = np.int16 if bits == 16 else np.uint8
+        samples = np.frombuffer(
+            data, dtype=dtype, count=n_frames * channels)
+    else:
+        table = (_g711_alaw_table() if audio_format == 6
+                 else _g711_ulaw_table())
+        codes = np.frombuffer(data, np.uint8, count=n_frames * channels)
+        samples = table[codes]
+        bits = 16  # expanded width
     return {"width": 0, "height": 0, "frames": n_frames,
             "sample_rate": rate, "channels": channels, "bits": bits,
             "duration": round(n_frames / rate, 6),

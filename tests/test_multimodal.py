@@ -98,6 +98,40 @@ def test_wav_8bit_mono():
     assert m["samples"].dtype == np.uint8
 
 
+def _make_g711_wav(codes: bytes, audio_format: int, rate=8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", audio_format, 1, rate, rate, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_g711_mulaw_known_answers():
+    """ITU-T G.711 mu-law expansion: anchor values from the reference
+    decoder tables (silence 0xFF -> 0; full-scale 0x00 -> -32124,
+    0x80 -> +32124) plus the odd symmetry table[x] == -table[x ^ 0x80]."""
+    from pdfminer_spark.ops.multimodal import _decode_wav, _g711_ulaw_table
+
+    t = _g711_ulaw_table()
+    assert (t[0xFF], t[0x00], t[0x80]) == (0, -32124, 32124)
+    assert all(int(t[x]) == -int(t[x ^ 0x80]) for x in range(256))
+    d = _decode_wav(_make_g711_wav(bytes([0x00, 0x80, 0xFF]), 7))
+    assert d["frames"] == 3 and d["bits"] == 16
+    assert d["samples"][:, 0].tolist() == [-32124, 32124, 0]
+
+
+def test_wav_g711_alaw_known_answers():
+    """A-law anchors: silence 0xD5 -> +8 / 0x55 -> -8; full-scale
+    0xAA -> +32256 / 0x2A -> -32256; same odd symmetry."""
+    from pdfminer_spark.ops.multimodal import _decode_wav, _g711_alaw_table
+
+    t = _g711_alaw_table()
+    assert (t[0xD5], t[0x55], t[0xAA], t[0x2A]) == (8, -8, 32256, -32256)
+    assert all(int(t[x]) == -int(t[x ^ 0x80]) for x in range(256))
+    d = _decode_wav(_make_g711_wav(bytes([0xD5, 0x2A]), 6, rate=16000))
+    assert d["samples"][:, 0].tolist() == [8, -32256]
+    assert d["duration"] == round(2 / 16000, 6)
+
+
 def test_malformed_media_falls_back_not_fails():
     """ADVICE r5: an opaque payload that merely shares the 2/4-byte
     magic prefix must take the fake path (the whole query must not
