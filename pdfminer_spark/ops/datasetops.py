@@ -624,6 +624,63 @@ def turn_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("tool_ratio")))
 
 
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation URL canonicalization (RFC 3986 case/port rules +
+    the tracking-parameter strip every crawl pipeline applies): per
+    document, a deterministically messy URL is synthesized from doc_id
+    (mixed-case scheme/host, sometimes-default explicit port, utm_*
+    tracking params in varying positions, optional fragment), then
+    canonicalized by PARSING the raw string — lowercase scheme and
+    host, drop the port iff it is the scheme's default, drop the
+    fragment, drop utm_* params, sort the surviving query params.
+
+    Scale: the entire op is JVM-side expressions (parse_url +
+    higher-order array functions) on the scan partitions — zero
+    shuffles, zero Python. The DuckDB oracle re-parses the same raw
+    string with regexps and list functions, so cross-engine equality
+    checks the normalization logic, not shared code."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(F.lit("http"), F.lit("HTTP"), F.lit("https"),
+                F.lit("HTTPS")), (k % 4 + 1).cast("int"))
+    host = F.concat(F.lit("WWW.Example"), (k % 7).cast("string"),
+                    F.lit(".COM"))
+    port = F.element_at(
+        F.array(F.lit(":80"), F.lit(":443"), F.lit(":8080"), F.lit("")),
+        (k % 3 + 1).cast("int"))  # never "" -> every URL has a port
+    path = F.concat(F.lit("/Docs/page"), (k % 50).cast("string"))
+    query = F.element_at(F.array(
+        F.lit("utm_source=feed&id=") ,
+        F.lit("id="),
+        F.lit("b=2&utm_campaign=x&a=1&id="),
+    ), (k % 3 + 1).cast("int"))
+    frag = F.when(k % 5 == 0, F.concat(F.lit("#sec"),
+                                       (k % 9).cast("string"))
+                  ).otherwise(F.lit(""))
+    raw = F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"),
+                   query, (k % 97).cast("string"), frag)
+    d = d.select("doc_id", raw.alias("url"))
+    p = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
+    h = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    prt = F.regexp_extract(
+        F.parse_url(F.col("url"), F.lit("AUTHORITY")), ":(\\d+)$", 1)
+    default = ((p == "http") & (prt == "80")) | \
+        ((p == "https") & (prt == "443"))
+    port_out = F.when(default | (prt == ""), F.lit("")).otherwise(
+        F.concat(F.lit(":"), prt))
+    pth = F.parse_url(F.col("url"), F.lit("PATH"))
+    q = F.coalesce(F.parse_url(F.col("url"), F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda x: ~x.startswith("utm_") & (x != "")))
+    qn = F.array_join(params, "&")
+    canon = F.concat(
+        p, F.lit("://"), h, port_out, pth,
+        F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)))
+    return d.select("doc_id", "url", canon.alias("url_canonical"))
+
+
 ORACLES: dict[str, str] = {
     "contamination_check": """
         WITH grams AS (
@@ -940,8 +997,46 @@ ORACLES["normalize_text"] = """
     "dto": _NORM_DECOR_TO,
 }
 
+ORACLES["url_canonicalize"] = """
+    WITH u AS (
+      SELECT doc_id,
+        (['http','HTTP','https','HTTPS'])[(doc_id % 4 + 1)::INT]
+          || '://WWW.Example' || (doc_id % 7) || '.COM'
+          || ([':80',':443',':8080',''])[(doc_id % 3 + 1)::INT]
+          || '/Docs/page' || (doc_id % 50)
+          || '?'
+          || (['utm_source=feed&id=','id=','b=2&utm_campaign=x&a=1&id='])
+               [(doc_id % 3 + 1)::INT]
+          || (doc_id % 97)
+          || CASE WHEN doc_id % 5 = 0 THEN '#sec' || (doc_id % 9)
+                  ELSE '' END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        LOWER(REGEXP_EXTRACT(url, '^([^:]+)://', 1)) AS scheme,
+        LOWER(REGEXP_EXTRACT(url, '://([^/:?#]+)', 1)) AS host,
+        REGEXP_EXTRACT(url, '://[^/:?#]+:([0-9]+)', 1) AS port,
+        REGEXP_EXTRACT(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+        ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+          STR_SPLIT(REGEXP_EXTRACT(url, '\\?([^#]*)', 1), '&'),
+          x -> NOT REGEXP_MATCHES(x, '^utm_') AND x <> '')), '&') AS qn
+      FROM u
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host
+           || CASE WHEN port = ''
+                     OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                   THEN '' ELSE ':' || port END
+           || path
+           || CASE WHEN qn = '' THEN '' ELSE '?' || qn END
+             AS url_canonical
+    FROM parts
+"""
+
 QUERIES = {
     "pii_scrub": pii_scrub,
+    "url_canonicalize": url_canonicalize,
     "contamination_check": contamination_check,
     "contamination_bloom": contamination_bloom,
     "dsir_weights": dsir_weights,

@@ -278,3 +278,47 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
     assert set(got) == {1, 2}  # target docs are the model, not scored
     assert got[1]["log_weight"] > got[2]["log_weight"]
     assert got[1]["weight_decile"] < got[2]["weight_decile"]
+
+
+def test_url_canonicalize_rules(spark):
+    """RFC 3986 normalization semantics, checked against hand-computed
+    expectations for specific doc_ids (the synthesis is deterministic in
+    doc_id, so expected strings are derivable by hand):
+
+    - scheme+host lowercased
+    - default port dropped iff it matches the scheme (http:80, https:443)
+    - non-default port kept
+    - fragment dropped
+    - utm_* params dropped, survivors sorted
+    """
+    from pdfminer_spark.ops.datasetops import url_canonicalize
+    got = {r["doc_id"]: (r["url"], r["url_canonical"])
+           for r in url_canonicalize(spark, SF_DIR).collect()}
+
+    for doc_id, (raw, canon) in got.items():
+        # fragment and tracking params never survive
+        assert "#" not in canon and "utm_" not in canon
+        # scheme/host lowercase
+        assert canon.split("://")[0] in ("http", "https")
+        assert ".com" in canon and "Example" not in canon
+        # every raw URL here carries an explicit port; it survives
+        # canonicalization iff non-default for the (lowercased) scheme
+        scheme = canon.split("://")[0]
+        port = raw.split("://")[1].split("/")[0].split(":")[1]
+        if (scheme, port) in (("http", "80"), ("https", "443")):
+            assert ":" not in canon.split("://")[1].split("/")[0]
+        else:
+            assert f":{port}" in canon
+
+    # doc_id=0: HTTP scheme variant index (0%4+1)=1 -> 'http', port
+    # (0%3+1)=1 -> ':80' (default, dropped), query variant 1 ->
+    # 'utm_source=feed&id=0', frag doc_id%5==0 -> '#sec0'
+    raw0, canon0 = got[0]
+    assert raw0 == "http://WWW.Example0.COM:80/Docs/page0?utm_source=feed&id=0#sec0"
+    assert canon0 == "http://www.example0.com/Docs/page0?id=0"
+
+    # doc_id=2: scheme idx 3 -> 'https', port idx 3 -> ':8080' (kept),
+    # query variant 3 -> 'b=2&utm_campaign=x&a=1&id=2' -> sorted 'a=1&b=2&id=2'
+    raw2, canon2 = got[2]
+    assert raw2 == "https://WWW.Example2.COM:8080/Docs/page2?b=2&utm_campaign=x&a=1&id=2"
+    assert canon2 == "https://www.example2.com:8080/Docs/page2?a=1&b=2&id=2"
