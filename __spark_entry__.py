@@ -94,8 +94,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
-                                    multimodal, pdfcorpus, relational,
-                                    similarity, sketches, temporal, textops)
+                                    multimodal, pdfcorpus, ranking,
+                                    relational, similarity, sketches,
+                                    temporal, textops)
 
     q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q_all.update(curationops.QUERIES)
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all.update(multimodal.QUERIES)
     q_all.update(layoutops.QUERIES)
     q_all.update(datasetops.QUERIES)
+    q_all.update(ranking.QUERIES)
     q_all.update(pdfcorpus.QUERIES)
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
@@ -132,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans", "conversation_pack", "holdout_split",
         "turn_role_stats",
         # r7 source-changed
-        "url_canonicalize",
+        "url_canonicalize", "pagerank", "bm25_scores",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
@@ -149,8 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
-                                    multimodal, pdfcorpus, relational,
-                                    similarity, sketches, temporal, textops)
+                                    multimodal, pdfcorpus, ranking,
+                                    relational, similarity, sketches,
+                                    temporal, textops)
 
     o: dict[str, str] = {}
     o.update(curationops.ORACLES)
@@ -162,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(multimodal.ORACLES)
     o.update(layoutops.ORACLES)
     o.update(datasetops.ORACLES)
+    o.update(ranking.ORACLES)
     o.update(pdfcorpus.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)

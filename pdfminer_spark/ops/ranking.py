@@ -1,0 +1,208 @@
+"""Ranking signals for web-scale corpus curation: PageRank over a link
+graph and BM25 query relevance.
+
+Both are classic quality/relevance signals a 100 TB crawl-curation
+pipeline computes before sampling (PageRank as a document-quality prior,
+BM25 for targeted retrieval of seed-relevant documents). Both are
+expressed in exact integer micro-units so Spark and the DuckDB oracle
+agree bit-for-bit (the repo's standing fixed-point recipe: floats only
+enter via one driver-side CPython ``math.log`` table, everything
+distributed is BIGINT arithmetic).
+
+The link graph is synthesized deterministically from ``doc_id`` (the
+corpus has no real hyperlinks): node ``d`` links to ``(7*d + g) % N``
+for ``g`` in ``1 .. 1 + d % 3`` — variable out-degree, so in-degrees
+(and therefore converged ranks) genuinely differ across nodes and a
+mis-keyed join cannot hide behind graph symmetry. A real web graph is
+additionally skewed on popular targets, which the standard remedies
+(AQE skew-join on the contribution shuffle, or salting the top
+in-degree keys) handle without changing this plan shape.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_PR_ITERS = 5
+_PR_MAX_DEG = 3
+# damping 0.85 in micro-units: r' = 150_000 + (85 * insum) div 100
+_BM25_QUERY = ("join", "filter", "dup", "scan")
+_BM25_TOPK = 20
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 power iterations of PageRank (damping 0.85) in integer
+    micro-units: ranks start at 1_000_000 per node; each iteration
+    every node sends ``rank div out_degree`` along its out-edges and
+    sets ``150_000 + (85 * inbound_sum) div 100``. Truncating division
+    on non-negative BIGINTs is identical in Spark and DuckDB, so the
+    fixed iteration count yields bit-equal ranks with no float in the
+    distributed plan.
+
+    Scale shape: the canonical iterative-graph plan — per iteration ONE
+    shuffle join (ranks x edges on src) and ONE aggregation shuffle
+    (sum by dst). Edges are materialized once (localCheckpoint) because
+    all K iterations re-read them; rank lineage stays linear in K (the
+    connected-components op in textops.py learned the hard way that
+    self-referencing iteration without materialization grows plans
+    quadratically). At 100 TB one would additionally pre-partition
+    edges by src so the per-iteration join is co-located; K is a fixed
+    small constant, not data-dependent.
+
+    The single ``count()`` is one scalar (graph order N) — same bounded
+    driver round-trip precedent as lm_perplexity/dsir_weights.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = nodes.count()  # one scalar: the modulus of the synthetic graph
+    dsts = F.slice(
+        F.array(*[(F.col("node") * 7 + g) % n
+                  for g in range(1, _PR_MAX_DEG + 1)]),
+        F.lit(1), (F.col("node") % 3 + 1).cast("int"))
+    edges = nodes.select(F.col("node").alias("src"),
+                         (F.col("node") % 3 + 1).alias("deg"),
+                         F.explode(dsts).alias("dst"))
+    # referenced by every iteration — materialize once
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (edges.join(ranks, edges["src"] == ranks["node"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.expr("r div deg")).alias("insum")))
+        ranks = (nodes.join(contrib, F.col("node") == F.col("dst"), "left")
+                 .select("node",
+                         F.expr("150000 + (85 * coalesce(insum, 0L)) div 100")
+                         .cast("long").alias("r")))
+    return ranks.select(F.col("node").alias("doc_id"),
+                        F.col("r").alias("rank6"))
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed query over
+    the corpus vocabulary, scored in exact integer micro-units.
+
+    With k1 = 6/5 and b = 3/4, multiplying the per-term score's
+    numerator and denominator by 10*L (L = total corpus tokens) gives
+
+        score6 = (idf6 * 22 * tf * L) div (10*L*tf + 3*L + 9*dl*N)
+
+    — all-BIGINT once idf6 is fixed. idf6 = floor(1e6 * ln((2N+2) /
+    (2*df+1))) (the Robertson idf, rewritten as a ratio of exact
+    integers) is computed on the DRIVER with CPython's math.log from a
+    bounded collect (one row per query term, ≤4 rows — the
+    dsir_weights precedent) and broadcast back as a literal table;
+    DuckDB's LN is the same glibc libm, verified across 3 SFs.
+    int64 bound: idf6*22*tf*L < 2^63 for tf*L < 4.5e10 — holds by orders
+    of magnitude at test SFs; a real 100 TB deployment scores in doubles
+    (ranking does not need bit-determinism outside this oracle gate).
+
+    Scale shape: tf is one shuffle on (doc_id, token) with map-side
+    combine, df/N/L are one tiny aggregation, the idf table is a
+    broadcast join, and the final top-k is TakeOrderedAndProject — no
+    corpus-wide sort, no unpartitioned window (rank is computed on the
+    20 collected rows' worth of data only via the global LIMIT).
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                 lambda w: w != "").alias("w"))
+    toks = toks.select("doc_id", F.size("w").alias("dl"),
+                       F.explode("w").alias("token"))
+    # N docs, L total tokens, df per query term: ≤ 4+1 rows collected
+    nl = toks.agg(F.countDistinct("doc_id").alias("n"),
+                  F.count("*").alias("l")).collect()[0]
+    n, l = int(nl["n"]), int(nl["l"])
+    dfs = {r["token"]: int(r["df"]) for r in
+           toks.where(F.col("token").isin(*_BM25_QUERY))
+           .groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+           .collect()}
+    idf_rows = [(t, int(math.floor(
+        1e6 * math.log((2 * n + 2) / (2 * dfs[t] + 1)))))
+        for t in sorted(dfs)]
+    idf = F.broadcast(spark.createDataFrame(
+        idf_rows, "token string, idf6 long"))
+    tf = (toks.where(F.col("token").isin(*_BM25_QUERY))
+          .groupBy("doc_id", "token", "dl")
+          .agg(F.count("*").alias("tf")))
+    per_term = tf.join(idf, "token").select(
+        "doc_id",
+        F.expr("(idf6 * 22 * tf * {l}L) div "
+               "(10 * {l}L * tf + 3 * {l}L + 9 * dl * {n}L)"
+               .format(l=l, n=n)).alias("s6"))
+    scored = (per_term.groupBy("doc_id")
+              .agg(F.sum("s6").alias("bm25_e6"))
+              .orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
+              .limit(_BM25_TOPK))
+    w = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
+    return scored.select(F.row_number().over(w).alias("rank"),
+                         "doc_id", "bm25_e6")
+
+
+def _pr_oracle() -> str:
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS c FROM documents)",
+        """e AS (
+          SELECT doc_id AS src, doc_id % 3 + 1 AS deg,
+                 (doc_id * 7 + g.g) % (SELECT c FROM nn) AS dst
+          FROM documents CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS g) g
+          WHERE g.g <= doc_id % 3 + 1)""",
+        "r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM documents)",
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append("""r{i} AS (
+          SELECT d.doc_id AS node,
+                 (150000 + (85 * COALESCE(s.insum, 0)) // 100)::BIGINT AS r
+          FROM documents d LEFT JOIN (
+            SELECT e.dst AS node, (SUM(r.r // e.deg))::BIGINT AS insum
+            FROM e JOIN {prev} r ON r.node = e.src GROUP BY e.dst) s
+          ON s.node = d.doc_id)""".format(i=i, prev=prev))
+        prev = "r%d" % i
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT node AS doc_id, r AS rank6 FROM " + prev)
+
+
+ORACLES: dict[str, str] = {
+    "pagerank": _pr_oracle(),
+    "bm25_scores": """
+        WITH toks AS (
+          SELECT doc_id, LEN(w) AS dl, UNNEST(w) AS token FROM (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents)
+        ), nl AS (
+          SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*)::BIGINT AS l FROM toks
+        ), idf AS (
+          SELECT token,
+                 FLOOR(1e6 * LN((2 * (SELECT n FROM nl) + 2)
+                                / (2 * COUNT(DISTINCT doc_id) + 1)))::BIGINT
+                   AS idf6
+          FROM toks WHERE token IN ({terms}) GROUP BY token
+        ), tf AS (
+          SELECT doc_id, token, dl, COUNT(*)::BIGINT AS tf
+          FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token, dl
+        ), scored AS (
+          SELECT tf.doc_id,
+                 (SUM((idf.idf6 * 22 * tf.tf * nl.l)
+                      // (10 * nl.l * tf.tf + 3 * nl.l
+                          + 9 * tf.dl * nl.n)))::BIGINT AS bm25_e6
+          FROM tf JOIN idf USING (token) CROSS JOIN nl
+          GROUP BY tf.doc_id
+          ORDER BY bm25_e6 DESC, tf.doc_id ASC LIMIT {k}
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id ASC) AS rank,
+               doc_id, bm25_e6
+        FROM scored
+    """.format(terms=", ".join("'%s'" % t for t in _BM25_QUERY),
+               k=_BM25_TOPK),
+}
+
+QUERIES = {
+    "pagerank": pagerank,
+    "bm25_scores": bm25_scores,
+}

@@ -126,6 +126,19 @@ AUDITS = [
      "(doc_id-only ReadSchema — column pruning drops the text payload "
      "entirely); zero exchanges: the PNG build + real decode is per-row "
      "independent, so a shuffle would move bytes for nothing."),
+    ("pagerank",
+     "ZERO parquet re-scans across the 5 power iterations: edges and "
+     "nodes enter as Scan ExistingRDD leaves (one eager localCheckpoint "
+     "each), so the iterative lineage stays linear in K; exactly 2 "
+     "exchanges per iteration (contribution join on src, sum by dst) — "
+     "the canonical iterative-graph shape, no driver-side loop over "
+     "collected data."),
+    ("bm25_scores",
+     "TakeOrderedAndProject(limit=20) sits BELOW the rank window, so "
+     "the single-partition Window sees exactly 20 rows, never the "
+     "corpus; the driver-fitted idf table enters as a BroadcastHashJoin "
+     "build side; tf is one exchange with partial_count map-side "
+     "combine; the query-term filter reaches the scan."),
 ]
 
 def main() -> None:
