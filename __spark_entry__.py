@@ -134,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans", "conversation_pack", "holdout_split",
         "turn_role_stats",
         # r7 source-changed
-        "url_canonicalize", "pagerank", "bm25_scores",
+        "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",

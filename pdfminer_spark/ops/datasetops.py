@@ -10,7 +10,7 @@ alternation; no backreferences or lookarounds.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .textops import _docs, _hex2int_sql, _hex2long
@@ -681,7 +681,63 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "url", canon.alias("url_canonical"))
 
 
+_SHARD_BYTES = 4096
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced byte-budgeted output sharding: assign every document a
+    byte offset in the global (source, doc_id) order and a shard id
+    ``offset div 4096`` — the packing step that turns a curated corpus
+    into fixed-size training shards where a naive ``repartition(N)``
+    balances row COUNTS, not bytes.
+
+    Scale shape — the distributed prefix-sum pattern (the same shape
+    that replaced lm_perplexity's global NTILE): the ONLY window is
+    partitioned by source (one exchange); the cross-source offsets come
+    from the per-source byte totals — a #sources-row aggregate collected
+    and broadcast back (bounded driver round-trip, dsir precedent;
+    at web scale with unbounded domains the same trick recurses:
+    prefix-sum the totals table with one more partitioned level). No
+    global sort or corpus-wide window anywhere."""
+    d = _docs(spark, sf_dir)
+    b = d.select("doc_id", "source",
+                 F.octet_length("text").cast("long").alias("n_bytes"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    within = F.coalesce(F.sum("n_bytes").over(w), F.lit(0).cast("long"))
+    totals = sorted(
+        (r["source"], int(r["t"])) for r in
+        b.groupBy("source").agg(F.sum("n_bytes").alias("t")).collect())
+    offs, acc = [], 0
+    for (src, t) in totals:
+        offs.append((src, acc))
+        acc += t
+    off = F.broadcast(spark.createDataFrame(
+        offs, "source string, src_off long"))
+    return (b.join(off, "source")
+            .select("doc_id", "source", "n_bytes",
+                    (F.col("src_off") + within).alias("global_start"))
+            .withColumn("shard_id",
+                        F.expr("global_start div %d" % _SHARD_BYTES)))
+
+
 ORACLES: dict[str, str] = {
+    "shard_assign": """
+        WITH b AS (
+          SELECT doc_id, source, STRLEN(text)::BIGINT AS n_bytes
+          FROM documents
+        ), g AS (
+          SELECT doc_id, source, n_bytes,
+                 COALESCE(SUM(n_bytes) OVER (
+                   ORDER BY source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS global_start
+          FROM b
+        )
+        SELECT doc_id, source, n_bytes, global_start,
+               (global_start // %d)::BIGINT AS shard_id
+        FROM g
+    """ % _SHARD_BYTES,
     "contamination_check": """
         WITH grams AS (
           SELECT doc_id,
@@ -1037,6 +1093,7 @@ ORACLES["url_canonicalize"] = """
 QUERIES = {
     "pii_scrub": pii_scrub,
     "url_canonicalize": url_canonicalize,
+    "shard_assign": shard_assign,
     "contamination_check": contamination_check,
     "contamination_bloom": contamination_bloom,
     "dsir_weights": dsir_weights,

@@ -322,3 +322,29 @@ def test_url_canonicalize_rules(spark):
     raw2, canon2 = got[2]
     assert raw2 == "https://WWW.Example2.COM:8080/Docs/page2?b=2&utm_campaign=x&a=1&id=2"
     assert canon2 == "https://www.example2.com:8080/Docs/page2?a=1&b=2&id=2"
+
+
+def test_shard_assign_invariants(spark):
+    """Byte-budgeted sharding invariants: offsets are the exact prefix
+    sum of byte lengths in (source, doc_id) order (no gaps, no overlap),
+    and every shard except possibly the last stays within budget + one
+    document (a doc that straddles a 4096 boundary belongs to the shard
+    its FIRST byte falls in)."""
+    from pdfminer_spark.ops.datasetops import _SHARD_BYTES, shard_assign
+    rows = sorted(((r["source"], r["doc_id"], r["n_bytes"],
+                    r["global_start"], r["shard_id"])
+                   for r in shard_assign(spark, SF_DIR).collect()))
+    acc = 0
+    for (_, _, n_bytes, start, shard_id) in rows:
+        assert start == acc           # exact prefix sum, no gaps
+        assert shard_id == start // _SHARD_BYTES
+        acc += n_bytes
+    # balance: every shard's byte mass is within budget plus one
+    # straddling document
+    per_shard = {}
+    for (_, _, n_bytes, _, shard_id) in rows:
+        per_shard[shard_id] = per_shard.get(shard_id, 0) + n_bytes
+    max_doc = max(r[2] for r in rows)
+    assert len(per_shard) >= 2  # the corpus actually spans shards
+    for (sid, total) in per_shard.items():
+        assert total <= _SHARD_BYTES + max_doc
