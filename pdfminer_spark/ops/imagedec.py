@@ -1,4 +1,4 @@
-"""Pure-numpy still-image decoders: PNG and baseline JPEG.
+"""Pure-numpy still-image decoders: PNG, JPEG, and GIF.
 
 Closes the r6 "honest partial" in the multimodal decode step: compressed
 image codecs previously fell back to the deterministic fake because no
@@ -12,10 +12,12 @@ is implementation-defined).
 
 In scope: sequential AND progressive (SOF2, spectral selection +
 successive approximation) JPEG; non-interlaced and Adam7-interlaced
-PNG. Out of scope (still the documented fallback in ``decode_media``):
-sub-byte-depth interlaced PNG, arithmetic/12-bit/lossless/hierarchical
-JPEG, and the video/audio compressed codecs (MP3/H.264 need a real
-codec stack).
+PNG; GIF87a/89a (LSB-first variable-width LZW, interlace, Graphic
+Control Extension transparency — first frame's pixels, total frame
+count). Out of scope (still the documented fallback in
+``decode_media``): sub-byte-depth interlaced PNG,
+arithmetic/12-bit/lossless/hierarchical JPEG, and the video/audio
+compressed codecs (MP3/H.264 need a real codec stack).
 
 Returned dict follows the ``decode_media`` contract: ``width``,
 ``height``, ``frames`` plus ``pixels`` (H x W x C uint8, C in {1,3,4}).
@@ -662,4 +664,179 @@ def decode_jpeg(b: bytes) -> dict:
         raise ImageDecodeError("unsupported component count %d"
                                % len(out_planes))
     return {"width": W, "height": H, "frames": 1,
+            "bpp": 8 * px.shape[2], "pixels": np.ascontiguousarray(px)}
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+_GIF_MAX_DICT = 4096  # 12-bit code ceiling, GIF89a spec appendix F
+
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    starting at min_code+1, clear/end codes, 12-bit dictionary cap with
+    deferred-clear behavior. (The PDF LZWDecode in pdf/filters.py is the
+    TIFF variant — MSB-first with early-change — so the two cannot share
+    a bit reader.) Output is capped at the declared pixel count: a
+    hostile stream cannot expand past the advertised geometry."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    dic = list(base)
+    codesize = min_code + 1
+    out = bytearray()
+    prev = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < codesize:
+            if pos >= len(data):
+                raise ImageDecodeError("GIF LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << codesize) - 1)
+        bitbuf >>= codesize
+        nbits -= codesize
+        if code == clear:
+            dic = list(base)
+            codesize = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ImageDecodeError("GIF LZW: first code not literal")
+            entry = dic[code]
+        elif code < len(dic):
+            entry = dic[code]
+        elif code == len(dic):
+            entry = prev + prev[:1]
+        else:
+            raise ImageDecodeError("GIF LZW: code beyond dictionary")
+        out += entry
+        if len(out) >= npix:
+            return bytes(out[:npix])
+        if prev is not None and len(dic) < _GIF_MAX_DICT:
+            dic.append(prev + entry[:1])
+        if len(dic) == (1 << codesize) and codesize < 12:
+            codesize += 1
+        prev = entry
+
+
+def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a length-prefixed sub-block chain; returns (data,
+    position after the 0x00 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ImageDecodeError("GIF sub-blocks truncated")
+        ln = b[pos]
+        pos += 1
+        if ln == 0:
+            return (bytes(out), pos)
+        if pos + ln > len(b):
+            raise ImageDecodeError("GIF sub-block truncated")
+        out += b[pos:pos + ln]
+        pos += ln
+
+
+def decode_gif(b: bytes) -> dict:
+    """Decode a GIF87a/89a: first frame's pixels (palette-mapped RGB, or
+    RGBA when the frame's Graphic Control Extension declares a
+    transparent index), total frame count across the stream. Interlaced
+    frames are de-interlaced (4-pass row order per spec appendix E).
+    Bounded like the other decoders: geometry checked against
+    _MAX_PIXELS before allocation, LZW expansion capped at the declared
+    pixel count."""
+    if b[:6] not in GIF_SIGS:
+        raise ImageDecodeError("not a GIF signature")
+    if len(b) < 13:
+        raise ImageDecodeError("GIF truncated before screen descriptor")
+    (_, _, packed, _, _) = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(b):
+            raise ImageDecodeError("GIF global color table truncated")
+        gct = np.frombuffer(b[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = 0
+    first = None
+    transparent = None
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension
+            if pos >= len(b):
+                raise ImageDecodeError("GIF extension truncated")
+            label = b[pos]
+            pos += 1
+            (ext, pos) = _gif_subblocks(b, pos)
+            if label == 0xF9 and first is None and len(ext) >= 4 \
+                    and ext[0] & 1:
+                transparent = ext[3]
+        elif blk == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ImageDecodeError("GIF image descriptor truncated")
+            (_, _, w, h, ip) = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                if pos + 3 * n > len(b):
+                    raise ImageDecodeError("GIF local color table truncated")
+                ct = np.frombuffer(b[pos:pos + 3 * n],
+                                   np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pos >= len(b):
+                raise ImageDecodeError("GIF missing LZW code size")
+            minc = b[pos]
+            pos += 1
+            if not 2 <= minc <= 11:
+                raise ImageDecodeError("bad GIF LZW min code size %d" % minc)
+            (data, pos) = _gif_subblocks(b, pos)
+            frames += 1
+            if first is None:
+                if not (0 < w and 0 < h and w * h <= _MAX_PIXELS):
+                    raise ImageDecodeError("bad GIF frame dimensions")
+                if ct is None:
+                    raise ImageDecodeError("GIF frame has no color table")
+                idx = _gif_lzw(data, minc, w * h)
+                if len(idx) < w * h:
+                    raise ImageDecodeError("GIF pixel data truncated")
+                a = np.frombuffer(idx, np.uint8).reshape(h, w)
+                if ip & 0x40:  # interlaced
+                    out = np.zeros_like(a)
+                    r = 0
+                    for (start, step) in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                        for y in range(start, h, step):
+                            out[y] = a[r]
+                            r += 1
+                    a = out
+                if int(a.max()) >= len(ct):
+                    raise ImageDecodeError("GIF index beyond color table")
+                rgb = ct[a]
+                if transparent is not None and transparent < len(ct):
+                    alpha = np.where(a == transparent, 0, 255) \
+                        .astype(np.uint8)[..., None]
+                    px = np.concatenate([rgb, alpha], axis=-1)
+                else:
+                    px = rgb
+                first = (w, h, px)
+        else:
+            raise ImageDecodeError("unknown GIF block 0x%02x" % blk)
+    if first is None:
+        raise ImageDecodeError("GIF contains no image data")
+    (w, h, px) = first
+    return {"width": w, "height": h, "frames": frames,
             "bpp": 8 * px.shape[2], "pixels": np.ascontiguousarray(px)}

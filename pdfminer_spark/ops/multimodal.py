@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video cells are opaque ``binary`` columns. The decode step
-(``decode_media``) sniffs magic bytes and REALLY decodes four formats
+(``decode_media``) sniffs magic bytes and REALLY decodes five formats
 with pure numpy/stdlib — uncompressed BMP (BITMAPINFOHEADER), RIFF/WAVE
-PCM, PNG (zlib + all five scanline filters, Adam7 interlace;
-``ops/imagedec.py``), and JPEG — sequential AND progressive SOF2 (full
-ITU-T.81 Huffman/DCT path incl. successive approximation, triangle
-chroma upsampling; differentially tested against the JVM's
+PCM (+ G.711 mu-law/A-law), PNG (zlib + all five scanline filters,
+Adam7 interlace; ``ops/imagedec.py``), GIF87a/89a (LSB-first LZW,
+interlace, GCE transparency), and JPEG — sequential AND progressive
+SOF2 (full ITU-T.81 Huffman/DCT path incl. successive approximation,
+triangle chroma upsampling; all differentially tested against the JVM's
 javax.imageio) — yielding true width/height/pixel rows resp.
 sample-frame count/rate/duration/PCM samples. Payloads that are none of
 these (e.g. the synthetic corpus's text stand-ins) fall back to the
@@ -208,7 +209,8 @@ def decode_media(payload: bytes, kind: str) -> dict:
     rate / duration."""
     import struct
 
-    from pdfminer_spark.ops.imagedec import (ImageDecodeError, PNG_SIG,
+    from pdfminer_spark.ops.imagedec import (GIF_SIGS, ImageDecodeError,
+                                             PNG_SIG, decode_gif,
                                              decode_jpeg, decode_png)
 
     # a sniffed parse that fails falls BACK to the fake (ADVICE r5): an
@@ -236,6 +238,11 @@ def decode_media(payload: bytes, kind: str) -> dict:
         except (ImageDecodeError, IndexError, struct.error):
             # IndexError/struct.error: truncated marker stream — the
             # parser reads declared lengths before validating them
+            return _fake_decode(payload, kind)
+    if payload[:6] in GIF_SIGS:
+        try:
+            return decode_gif(payload)
+        except (ImageDecodeError, IndexError, struct.error):
             return _fake_decode(payload, kind)
     return _fake_decode(payload, kind)
 

@@ -20,8 +20,8 @@ import zlib
 import numpy as np
 import pytest
 
-from pdfminer_spark.ops.imagedec import (ImageDecodeError, decode_jpeg,
-                                         decode_png)
+from pdfminer_spark.ops.imagedec import (ImageDecodeError, decode_gif,
+                                         decode_jpeg, decode_png)
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -380,3 +380,155 @@ def test_decode_media_dispatches_png_and_jpeg(_img):
         d = decode_media(data, "image")
         assert (d["width"], d["height"]) == (24, 17)
         assert d["pixels"].shape == (17, 24, 3)
+
+
+# -- GIF ----------------------------------------------------------------------
+
+
+def _gif_encode_py(img_idx, palette, interlace=False, transparent=None):
+    """Hand-rolled GIF89a encoder (test-only, independent of the
+    decoder): global color table, optional GCE transparency, one frame,
+    LZW with the required clear/end codes and width growth."""
+    import struct as st
+
+    h, w = img_idx.shape
+    nbits = max(2, (len(palette) - 1).bit_length())
+    n = 1 << nbits
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
+    pal = bytearray()
+    for (r, g, b) in palette:
+        pal += bytes((r, g, b))
+    pal += bytes(3 * (n - len(palette)))
+    out += pal
+    if transparent is not None:
+        out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0))
+    ip = 0x40 if interlace else 0
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, ip)
+    rows = []
+    if interlace:
+        for (start, step) in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+    else:
+        rows = list(range(h))
+    seq = np.concatenate([img_idx[y] for y in rows]).tolist()
+    minc = max(2, nbits)
+    clear, end = 1 << minc, (1 << minc) + 1
+    codes = [clear]
+    dic = {bytes([i]): i for i in range(1 << minc)}
+    nxt = end + 1
+    buf = b""
+    for px in seq:
+        cand = buf + bytes([px])
+        if cand in dic:
+            buf = cand
+        else:
+            codes.append(dic[buf])
+            if nxt < 4096:
+                dic[cand] = nxt
+                nxt += 1
+            buf = bytes([px])
+    if buf:
+        codes.append(dic[buf])
+    codes.append(end)
+    # LSB-first variable-width packing (width grows AFTER the code that
+    # fills the dictionary to 2^width, matching decoder timing)
+    bits = bytearray()
+    bitbuf = nbits_acc = 0
+    codesize = minc + 1
+    count = end + 1
+    for c in codes:
+        bitbuf |= c << nbits_acc
+        nbits_acc += codesize
+        while nbits_acc >= 8:
+            bits.append(bitbuf & 255)
+            bitbuf >>= 8
+            nbits_acc -= 8
+        if c == clear:
+            count = end + 1
+            codesize = minc + 1
+        elif c != end:
+            count += 1
+            if count == (1 << codesize) + 1 and codesize < 12:
+                codesize += 1
+    if nbits_acc:
+        bits.append(bitbuf & 255)
+    out += bytes([minc])
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    rng = np.random.default_rng(5)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+               (255, 255, 0), (128, 128, 128), (255, 255, 255), (1, 2, 3)]
+    idx = rng.integers(0, 8, (13, 19), dtype=np.uint8)
+    expect = np.array(palette, np.uint8)[idx]
+    for interlace in (False, True):
+        gif = _gif_encode_py(idx, palette, interlace=interlace)
+        d = decode_gif(gif)
+        assert (d["width"], d["height"], d["frames"]) == (19, 13, 1)
+        assert np.array_equal(d["pixels"], expect)
+
+
+def test_gif_transparency_yields_alpha():
+    palette = [(9, 9, 9), (200, 10, 10)]
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    gif = _gif_encode_py(idx, palette, transparent=0)
+    d = decode_gif(gif)
+    assert d["pixels"].shape == (2, 2, 4)
+    assert (d["pixels"][..., 3] == np.where(idx == 0, 0, 255)).all()
+
+
+def test_gif_hostile_bounded():
+    import struct as st
+
+    # dimension bomb: header claims 65535x65535 (> _MAX_PIXELS)
+    bomb = bytearray(b"GIF89a" + st.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+                     + bytes(6) + b"\x2c"
+                     + st.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+                     + b"\x02\x01\x00\x00\x3b")
+    with pytest.raises(ImageDecodeError):
+        decode_gif(bytes(bomb))
+    # LZW expansion cannot exceed declared pixels: valid 2x2 stream
+    # with a huge repeated-code payload still returns exactly 4 pixels
+    palette = [(0, 0, 0), (255, 255, 255)]
+    idx = np.zeros((2, 2), np.uint8)
+    gif = bytearray(_gif_encode_py(idx, palette))
+    d = decode_gif(bytes(gif))
+    assert d["pixels"].shape[:2] == (2, 2)
+    # truncated sub-block chain raises, never hangs
+    with pytest.raises(ImageDecodeError):
+        decode_gif(bytes(gif[:len(gif) - 4]))
+
+
+def test_gif_matches_imageio(_img):
+    """Differential oracle: javax.imageio's GIF writer quantizes the
+    RGB fixture to its own palette; both stacks then decode the SAME
+    bytes, so pixel agreement must be exact."""
+    (spark, noisy) = _img
+    (BI, make_image, encode, jvm_rgb, _) = _jvm_tools(spark)
+    gif = encode(make_image(noisy, BI.TYPE_BYTE_INDEXED), "gif")
+    got = decode_gif(gif)["pixels"]
+    assert got.shape[2] in (3, 4)
+    assert np.array_equal(got[..., :3], jvm_rgb(gif))
+
+
+def test_gif_mutation_fuzz_never_escapes():
+    from pdfminer_spark.ops.multimodal import decode_media
+
+    rng = np.random.default_rng(13)
+    palette = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    idx = rng.integers(0, 16, (11, 17), dtype=np.uint8)
+    gif = _gif_encode_py(idx, palette)
+    t0 = time.time()
+    for _ in range(300):
+        buf = bytearray(gif)
+        for _ in range(rng.integers(1, 10)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        d = decode_media(bytes(buf), "image")
+        assert isinstance(d, dict) and "frames" in d
+    assert time.time() - t0 < 30.0
