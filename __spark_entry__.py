@@ -141,8 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 late: decode_media gained real PNG/JPEG dispatch and
         # media_decode_png is brand new — the whole multimodal family
         # needs fresh driver rows
-        "media_decode_png", "media_features", "media_metadata",
-        "media_resize", "media_frame_sample",
+        "media_decode_png", "media_decode_gif", "media_features",
+        "media_metadata", "media_resize", "media_frame_sample",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)

@@ -542,6 +542,93 @@ def _png_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             "doc_id", "width", "height", "bpp", "frames", "pixel_sum"])
 
 
+def _gif_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    def build_gif(doc_id: int) -> bytes:
+        w = 8 + doc_id % 13
+        h = 8 + (doc_id // 13) % 7
+        pal = bytes(v for i in range(8)
+                    for v in ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256))
+        xx = np.arange(w)[None, :]
+        yy = np.arange(h)[:, None]
+        idx = ((xx * 3 + yy * 5 + doc_id) % 8).astype(np.uint8)
+        interlace = doc_id % 2 == 1  # odd ids exercise the 4-pass path
+        if interlace:
+            order = [y for (s, st) in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for y in range(s, h, st)]
+        else:
+            order = list(range(h))
+        seq = np.concatenate([idx[y] for y in order]).tolist()
+        # "uncompressed" GIF LZW: literal codes only, CLEAR emitted just
+        # before the decoder's dictionary would force a width increase,
+        # so every code stays at minc+1 bits (deliberately independent
+        # of the test suite's real LZW encoder)
+        minc, clear, end = 3, 8, 9
+        codesize = minc + 1
+        codes = [clear]
+        count, first = end + 1, True
+        for px in seq:
+            if not first and count + 1 == (1 << codesize):
+                codes.append(clear)
+                count, first = end + 1, True
+            codes.append(int(px))
+            if first:
+                first = False
+            else:
+                count += 1
+        codes.append(end)
+        bits = bytearray()
+        buf = nb = 0
+        for c in codes:
+            buf |= c << nb
+            nb += codesize
+            while nb >= 8:
+                bits.append(buf & 255)
+                buf >>= 8
+                nb -= 8
+        if nb:
+            bits.append(buf & 255)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0) + pal
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                     0x40 if interlace else 0)
+        out += bytes([minc])
+        for i in range(0, len(bits), 255):
+            blockchunk = bits[i:i + 255]
+            out += bytes([len(blockchunk)]) + blockchunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            meta = decode_media(build_gif(int(doc_id)), "image")
+            px = meta.get("pixels")
+            rows.append((int(doc_id), meta["width"], meta["height"],
+                         meta.get("bpp", -1), meta["frames"],
+                         int(px.sum()) if px is not None else -1))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "bpp", "frames", "pixel_sum"])
+
+
+def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL GIF decode under the driver's oracle gate — the
+    media_decode_png pattern for the LSB-first LZW path: per document,
+    build a palette GIF executor-side from a closed-form index function
+    of doc_id (odd doc_ids interlaced, so the 4-pass reorder is inside
+    the gate too), decode through ``decode_media`` (magic sniff ->
+    ops/imagedec.decode_gif), and emit dimensions + the decoded pixel
+    byte sum. The DuckDB oracle recomputes the sum from the closed form
+    alone; a fake fallback surfaces as pixel_sum=-1 and a hash mismatch.
+
+    Scale: one map-side stage on the scan partitions; per-row work
+    bounded by the fixed <=20x14 synthetic frame."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id").mapInPandas(
+        _gif_decode_batches, schema=_PNG_DECODE_SCHEMA)
+
+
 def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image decode through the driver's oracle gate:
     per document, build a small RGB PNG executor-side from a closed-form
@@ -583,10 +670,33 @@ ORACLES["media_decode_png"] = """
     FROM px
 """
 
+ORACLES["media_decode_gif"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 + doc_id % 13)::INT AS width,
+             (8 + (doc_id // 13) % 7)::INT AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             SUM(  (((x * 3 + y * 5 + doc_id) % 8) * 37) % 256
+                 + (((x * 3 + y * 5 + doc_id) % 8) * 59) % 256
+                 + (((x * 3 + y * 5 + doc_id) % 8) * 83) % 256) AS pixel_sum
+      FROM dims,
+           (SELECT UNNEST(RANGE(0, 20)) AS x),
+           (SELECT UNNEST(RANGE(0, 14)) AS y)
+      WHERE x < width AND y < height
+      GROUP BY doc_id, width, height
+    )
+    SELECT doc_id, width, height, 24::INT AS bpp, 1::INT AS frames,
+           pixel_sum::BIGINT AS pixel_sum
+    FROM px
+"""
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
     "media_decode_png": media_decode_png,
+    "media_decode_gif": media_decode_gif,
 }

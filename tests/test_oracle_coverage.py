@@ -60,8 +60,8 @@ def test_queries_lead_with_stale_driver_row_ops():
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
-        "media_decode_png", "media_features", "media_metadata",
-        "media_resize", "media_frame_sample",
+        "media_decode_png", "media_decode_gif", "media_features",
+        "media_metadata", "media_resize", "media_frame_sample",
     ]
     names = list(entry.queries())
     assert names[:len(expected_head)] == expected_head

@@ -126,6 +126,10 @@ AUDITS = [
      "(doc_id-only ReadSchema — column pruning drops the text payload "
      "entirely); zero exchanges: the PNG build + real decode is per-row "
      "independent, so a shuffle would move bytes for nothing."),
+    ("media_decode_gif",
+     "same contract as media_decode_png: ONE map-side MapInPandas on "
+     "the doc_id-only scan, zero exchanges — the GIF build + LZW decode "
+     "is per-row independent."),
     ("pagerank",
      "ZERO parquet re-scans across the 5 power iterations: edges and "
      "nodes enter as Scan ExistingRDD leaves (one eager localCheckpoint "
