@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_role_stats",
         # r7 source-changed
         "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
+        "cooccurrence_lift",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",

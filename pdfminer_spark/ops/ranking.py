@@ -142,6 +142,63 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "doc_id", "bm25_e6")
 
 
+_LIFT_VOCAB = 64
+_LIFT_TOPK = 20
+
+
+def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token pairs by document-co-occurrence lift — the
+    association-mining pass corpus QA uses to spot template phrases and
+    collocations. lift(a,b) = N * df(a,b) / (df(a) * df(b)), reported
+    in exact integer micro-units (``(1e6 * N * df_ab) div (df_a *
+    df_b)``) so no cross-engine log/float enters the ranking (PMI is
+    the log of this; rank order is identical).
+
+    Scale shape: the pair space is bounded by the VOCABULARY, not the
+    corpus — presence sets are first filtered to the top-64 tokens by
+    document frequency (a bounded TakeOrdered + broadcast, the dsir
+    precedent), so the per-doc self-join emits at most C(64,2) pairs
+    per document regardless of corpus size; pair counting is one
+    map-side-combined aggregation. int64 bound: 1e6 * N * df_ab with
+    df_ab <= N needs N < 3e6 — production lifts the constant or ranks
+    by the equivalent cross-multiplication."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: w != ""))).alias("token"))
+    df_tab = toks.groupBy("token").agg(F.count("*").alias("df"))
+    vocab = [r["token"] for r in df_tab.orderBy(
+        F.col("df").desc(), F.col("token").asc()).limit(_LIFT_VOCAB)
+        .collect()]
+    n = d.count()  # one scalar, like pagerank's graph order
+    t = toks.where(F.col("token").isin(vocab))
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.token") < F.col("b.token")))
+             .groupBy(F.col("a.token").alias("token_a"),
+                      F.col("b.token").alias("token_b"))
+             .agg(F.count("*").alias("df_ab")))
+    dfa = df_tab.select(F.col("token").alias("token_a"),
+                        F.col("df").alias("df_a"))
+    dfb = df_tab.select(F.col("token").alias("token_b"),
+                        F.col("df").alias("df_b"))
+    scored = (pairs.join(F.broadcast(dfa), "token_a")
+              .join(F.broadcast(dfb), "token_b")
+              .select("token_a", "token_b", "df_ab",
+                      F.expr("(1000000 * %dL * df_ab) div (df_a * df_b)"
+                             % n).alias("lift6"))
+              .orderBy(F.col("lift6").desc(), F.col("token_a").asc(),
+                       F.col("token_b").asc())
+              .limit(_LIFT_TOPK))
+    w = Window.orderBy(F.col("lift6").desc(), F.col("token_a").asc(),
+                       F.col("token_b").asc())
+    return scored.select(F.row_number().over(w).alias("rank"),
+                         "token_a", "token_b", "df_ab", "lift6")
+
+
 def _pr_oracle() -> str:
     ctes = [
         "nn AS (SELECT COUNT(*) AS c FROM documents)",
@@ -202,7 +259,44 @@ ORACLES: dict[str, str] = {
                k=_BM25_TOPK),
 }
 
+ORACLES["cooccurrence_lift"] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                                                     '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+    ), dfreq AS (
+      SELECT token, COUNT(*)::BIGINT AS df FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token, df FROM dfreq
+      ORDER BY df DESC, token ASC LIMIT {v}
+    ), tv AS (
+      SELECT t.doc_id, t.token FROM toks t JOIN vocab USING (token)
+    ), pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             COUNT(*)::BIGINT AS df_ab
+      FROM tv a JOIN tv b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+    ), scored AS (
+      SELECT token_a, token_b, df_ab,
+             ((1000000 * (SELECT COUNT(*) FROM documents) * df_ab)
+              // (da.df * db.df))::BIGINT AS lift6
+      FROM pairs
+      JOIN dfreq da ON da.token = pairs.token_a
+      JOIN dfreq db ON db.token = pairs.token_b
+      ORDER BY lift6 DESC, token_a ASC, token_b ASC LIMIT {k}
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY lift6 DESC, token_a ASC,
+                              token_b ASC) AS rank,
+           token_a, token_b, df_ab, lift6
+    FROM scored
+""".format(v=_LIFT_VOCAB, k=_LIFT_TOPK)
+
 QUERIES = {
     "pagerank": pagerank,
     "bm25_scores": bm25_scores,
+    "cooccurrence_lift": cooccurrence_lift,
 }

@@ -57,6 +57,7 @@ def test_queries_lead_with_stale_driver_row_ops():
         "decontaminate_spans", "conversation_pack", "holdout_split",
         "turn_role_stats",
         "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
+        "cooccurrence_lift",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",

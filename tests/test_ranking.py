@@ -95,3 +95,57 @@ def test_bm25_matches_pure_python(spark, tiny_dir):
     # repeating one common term cannot beat term diversity
     assert got[0][1] == 0
     assert got[-1][1] == 2
+
+
+def _lift_py(rows):
+    from pdfminer_spark.ops.ranking import _LIFT_TOPK, _LIFT_VOCAB
+    toks = {d: set(text.lower().split()) for d, text in rows}
+    n = len(rows)
+    df = {}
+    for w in toks.values():
+        for t in w:
+            df[t] = df.get(t, 0) + 1
+    vocab = set(sorted(df, key=lambda t: (-df[t], t))[:_LIFT_VOCAB])
+    pc = {}
+    for w in toks.values():
+        kept = sorted(t for t in w if t in vocab)
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                pc[(kept[i], kept[j])] = pc.get((kept[i], kept[j]), 0) + 1
+    scored = sorted(
+        ((a, b, c, (1_000_000 * n * c) // (df[a] * df[b]))
+         for ((a, b), c) in pc.items()),
+        key=lambda r: (-r[3], r[0], r[1]))
+    return [(i + 1, a, b, c, s)
+            for i, (a, b, c, s) in enumerate(scored[:_LIFT_TOPK])]
+
+
+def test_cooccurrence_lift_matches_pure_python(spark, tmp_path):
+    from pdfminer_spark.ops.ranking import cooccurrence_lift
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "gamma delta epsilon"),
+        (4, "epsilon zeta eta theta"),
+        (5, "zeta eta"),
+        (6, "alpha epsilon zeta"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet")
+    got = [(r["rank"], r["token_a"], r["token_b"], r["df_ab"], r["lift6"])
+           for r in cooccurrence_lift(spark, str(tmp_path))
+           .orderBy("rank").collect()]
+    expect = _lift_py(rows)
+    assert got == expect
+    # rare always-together pairs dominate (classic PMI): (eta, theta)
+    # df_theta=1, co-occur once -> lift 7*1/(2*1) = 3.5
+    top = got[0]
+    assert (top[1], top[2]) == ("eta", "theta")
+    assert top[4] == 1_000_000 * 7 * 1 // (2 * 1)
+    # and an always-together pair of COMMON tokens still beats the same
+    # tokens' independent expectation: (eta, zeta) 7*2/(2*3) outranks
+    # (alpha, gamma) 7*2/(4*3)
+    order = {(a, b): r for (r, a, b, _, _) in got}
+    assert order[("eta", "zeta")] < order[("alpha", "gamma")]
