@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_lsh_pairs sig_mat kwarg, and the extraction family behind the
     # interp/layout/pipeline truncation-flag change).
     priority = [
+        # r7 late additions: brand-new ops need their first driver rows
+        "bigram_perplexity", "char_entropy", "dedup_url",
         # r4-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",

@@ -243,6 +243,135 @@ def _ppl_cutoffs(scored: DataFrame) -> tuple[float, float]:
     return (c1, c2 if c2 is not None else c1)
 
 
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the order-2 companion to
+    ``lm_perplexity`` (CCNet, Wenzek et al. 2020, uses order-5 KenLM;
+    a corpus-trained add-1 bigram model is the same signal family and
+    catches word-ORDER anomalies the unigram score is blind to, e.g.
+    shuffled or template-stitched text that keeps a natural unigram
+    mix). Every document is scored by its mean bigram log-probability
+    ``ln P(w2|w1) = ln(c(w1,w2)+1) - ln(c(w1)+V)`` under the corpus's
+    own counts, then bucketed head/middle/tail by the same value-cutoff
+    rule as lm_perplexity.
+
+    Cross-engine determinism (the standing fixed-point recipe): the
+    score is DEFINED as the difference of two floor-quantized logs,
+    ``lp6 = floor(ln(c2+1)*1e6) - floor(ln(c1+V)*1e6)`` — each term
+    comes from a driver-built CPython ``math.log`` table over the
+    DISTINCT integer arguments only (O(sqrt(#bigrams)) rows each, the
+    lm_perplexity precedent), so everything distributed is exact BIGINT
+    arithmetic. Residual assumption, same as lm_perplexity's note:
+    the DuckDB oracle recomputes LN itself, so equality hinges on
+    DuckDB's LN bit-matching CPython's math.log at floor(*1e6)
+    boundaries — both link glibc libm and have matched on every tested
+    argument; a divergent platform would surface as an oracle hash
+    mismatch, not silent error.
+
+    Scale shape: bigrams come from a JVM-side ``transform(sequence)``
+    (no explode of a cross product); the history and bigram count
+    aggregates are map-side-combined shuffles on w1 / (w1,w2); the
+    per-bigram score join is keyed on (w1,w2) — AQE elects broadcast at
+    test scale, sort-merge at vocab-squared scale, either is one
+    exchange. Docs with fewer than 2 words have no bigrams and are
+    excluded (stated in the oracle's WHERE too)."""
+    import math
+
+    d = _docs(spark, sf_dir)
+    docs_w = (d.select("doc_id", _words().alias("w"))
+              .where(F.size("w") >= 2))
+    big = docs_w.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> struct(w[i-1] AS w1, w[i] AS w2))")).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # one scalar: vocabulary size V over ALL token positions (not just
+    # histories) — bounded driver round-trip, lm_perplexity precedent
+    v = (d.select(F.explode(_words()).alias("t"))
+         .agg(F.countDistinct("t").alias("v")).collect()[0]["v"])
+    # driver-built ln6 tables over the DISTINCT integer arguments only
+    c2_vals = [r["c2"] for r in c2.select("c2").distinct().collect()]
+    c1_vals = [r["c1"] for r in c1.select("c1").distinct().collect()]
+    a6_tab = spark.createDataFrame(
+        [(c, math.floor(math.log(c + 1) * 1e6)) for c in c2_vals]
+        or [(0, 0)], "c2 bigint, a6 long")
+    b6_tab = spark.createDataFrame(
+        [(c, math.floor(math.log(c + v) * 1e6)) for c in c1_vals]
+        or [(0, 0)], "c1 bigint, b6 long")
+    lp = (c2.join(F.broadcast(a6_tab), "c2")
+          .join(c1.join(F.broadcast(b6_tab), "c1"), "w1")
+          .select("w1", "w2", (F.col("a6") - F.col("b6")).alias("lp6")))
+    scored = (big.join(lp, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("lp6").alias("s6")))
+    mean_lp = F.expr(
+        "cast(sign(s6) as bigint)"
+        " * ((2 * abs(s6) + 100 * n_bigrams) div (200 * n_bigrams))"
+    ).cast("double") / F.lit(10000.0)
+    scored = scored.select("doc_id", "n_bigrams",
+                           mean_lp.alias("mean_logprob"))
+    (cut1, cut2) = _ppl_cutoffs(scored)
+    bucket = (F.when(F.col("mean_logprob") >= F.lit(cut1), "head")
+              .when(F.col("mean_logprob") >= F.lit(cut2), "middle")
+              .otherwise("tail"))
+    return scored.withColumn("ppl_bucket", bucket)
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/encoding-damage signal (low entropy = repeated-char spam,
+    high entropy = binary-in-text / wrong-charset mojibake; used
+    alongside the Gopher rules in every published curation stack).
+
+    Fixed-point definition (exact in integer micro-units):
+    ``ent6 = ln6(n) - (sum_c count_c * ln6(count_c)) div n`` where
+    ``ln6(x) = floor(ln(x) * 1e6)`` — algebraically ``H = ln n -
+    (1/n) * sum c*ln c`` with every log floor-quantized BEFORE the
+    integer sum/divide, so both engines do only BIGINT arithmetic on
+    identical quantized inputs (ln6 >= 0 for counts >= 1, so truncating
+    and floor division agree). Spark reads ln6 from a driver-built
+    CPython math.log table over the DISTINCT count values (bounded:
+    one row per distinct per-doc char count or doc length); the DuckDB
+    oracle recomputes LN — the same residual glibc-vs-glibc assumption
+    lm_perplexity documents.
+
+    Scale shape: explode-to-chars looks alarming at 100 TB but the
+    groupBy(doc_id, ch) has map-side partial aggregation, so what
+    crosses the wire is per-(doc, char) COUNTS — bounded by n_docs x
+    alphabet, not corpus bytes; the explode itself is CPU on the scan
+    partitions (at true 100 TB one would swap in a mapInPandas
+    per-batch histogram, same output contract). Empty documents have
+    no characters and are excluded."""
+    import math
+
+    d = _docs(spark, sf_dir)
+    ch = d.select("doc_id", F.explode(F.filter(
+        F.split(F.col("text"), ""), lambda c: c != "")).alias("ch"))
+    counts = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_unique"),
+    )
+    c_vals = {r["c"] for r in counts.select("c").distinct().collect()}
+    n_vals = {r["n"] for r in agg.select("n").distinct().collect()}
+    ln6_tab = spark.createDataFrame(
+        [(x, math.floor(math.log(x) * 1e6)) for x in sorted(c_vals | n_vals)]
+        or [(0, 0)], "x bigint, ln6 long")
+    s6 = (counts.join(F.broadcast(ln6_tab),
+                      counts["c"] == ln6_tab["x"])
+          .groupBy("doc_id")
+          .agg(F.sum(F.col("c") * F.col("ln6")).alias("s6")))
+    out = (agg.join(s6, "doc_id")
+           .join(F.broadcast(ln6_tab), agg["n"] == ln6_tab["x"]))
+    ent = ((F.col("ln6") - F.expr("s6 div n")).cast("double")
+           / F.lit(1000000.0))
+    return out.select("doc_id", F.col("n").alias("n_chars"),
+                      "n_unique", ent.alias("entropy"))
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 token frequencies (vocabulary head / stopword
     discovery). Deterministic order: count desc, then token asc — the
@@ -567,9 +696,88 @@ ORACLES["lm_perplexity"] = f"""
 """
 
 
+ORACLES["bigram_perplexity"] = f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM w, UNNEST(RANGE(1, LEN(w))) AS t(i)
+      WHERE LEN(w) >= 2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+    ), vv AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(w) AS tok FROM w)
+    ), lp AS (
+      -- same fixed-point definition as the Spark op: a DIFFERENCE of
+      -- two floor-quantized logs (see bigram_perplexity's residual-
+      -- assumption note: DuckDB recomputes LN here)
+      SELECT c2.w1, c2.w2,
+             CAST(FLOOR(LN((c2.c2 + 1)::DOUBLE) * 1000000) AS BIGINT)
+             - CAST(FLOOR(LN((c1.c1 + vv.v)::DOUBLE) * 1000000) AS BIGINT)
+               AS lp6
+      FROM c2 JOIN c1 USING (w1), vv
+    ), s AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp6)::BIGINT AS s6
+      FROM big JOIN lp USING (w1, w2) GROUP BY doc_id
+    ), sc AS (
+      SELECT doc_id, n_bigrams,
+             (SIGN(s6)::BIGINT * ((2 * ABS(s6) + 100 * n_bigrams)
+               // (200 * n_bigrams)))::DOUBLE / 10000 AS mean_logprob
+      FROM s
+    ), hist AS (
+      SELECT mean_logprob AS scv, COUNT(*) AS m FROM sc GROUP BY scv
+    ), cum AS (
+      SELECT scv,
+             COALESCE(SUM(m) OVER (ORDER BY scv DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM hist
+    ), sz AS (
+      SELECT COUNT(*) // 3
+               + CASE WHEN COUNT(*) % 3 >= 1 THEN 1 ELSE 0 END AS s1,
+             COUNT(*) // 3
+               + CASE WHEN COUNT(*) % 3 >= 2 THEN 1 ELSE 0 END AS s2
+      FROM sc
+    ), bmap AS (
+      SELECT scv,
+             CASE WHEN cum_prev < s1 THEN 'head'
+                  WHEN cum_prev < s1 + s2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM cum, sz
+    )
+    SELECT doc_id, n_bigrams, mean_logprob, ppl_bucket
+    FROM sc JOIN bmap ON sc.mean_logprob = bmap.scv
+"""
+
+ORACLES["char_entropy"] = """
+    WITH ch AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(text, ''), x -> x <> ''))
+               AS ch
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+    ), agg AS (
+      SELECT doc_id, SUM(c)::BIGINT AS n, COUNT(*) AS n_unique,
+             SUM(c * CAST(FLOOR(LN(c::DOUBLE) * 1000000) AS BIGINT))
+               ::BIGINT AS s6
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars, n_unique,
+           (CAST(FLOOR(LN(n::DOUBLE) * 1000000) AS BIGINT)
+            - (s6 // n))::DOUBLE / 1000000 AS entropy
+    FROM agg
+"""
+
+
 QUERIES = {
     "gopher_quality": gopher_quality,
     "lm_perplexity": lm_perplexity,
+    "bigram_perplexity": bigram_perplexity,
+    "char_entropy": char_entropy,
     "corpus_report": corpus_report,
     "line_filter": line_filter,
     "paragraph_dedup": paragraph_dedup,

@@ -661,24 +661,77 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"),
                    query, (k % 97).cast("string"), frag)
     d = d.select("doc_id", raw.alias("url"))
-    p = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
-    h = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    return d.select("doc_id", "url",
+                    _url_canonical().alias("url_canonical"))
+
+
+def _url_canonical(col: str = "url"):
+    """RFC 3986 canonical form of a ``url`` string column: lowercase
+    scheme/host, drop default ports and fragments, strip utm_* params,
+    sort the survivors. Shared by url_canonicalize and dedup_url."""
+    p = F.lower(F.parse_url(F.col(col), F.lit("PROTOCOL")))
+    h = F.lower(F.parse_url(F.col(col), F.lit("HOST")))
     prt = F.regexp_extract(
-        F.parse_url(F.col("url"), F.lit("AUTHORITY")), ":(\\d+)$", 1)
+        F.parse_url(F.col(col), F.lit("AUTHORITY")), ":(\\d+)$", 1)
     default = ((p == "http") & (prt == "80")) | \
         ((p == "https") & (prt == "443"))
     port_out = F.when(default | (prt == ""), F.lit("")).otherwise(
         F.concat(F.lit(":"), prt))
-    pth = F.parse_url(F.col("url"), F.lit("PATH"))
-    q = F.coalesce(F.parse_url(F.col("url"), F.lit("QUERY")), F.lit(""))
+    pth = F.parse_url(F.col(col), F.lit("PATH"))
+    q = F.coalesce(F.parse_url(F.col(col), F.lit("QUERY")), F.lit(""))
     params = F.array_sort(F.filter(
         F.split(q, "&"),
         lambda x: ~x.startswith("utm_") & (x != "")))
     qn = F.array_join(params, "&")
-    canon = F.concat(
+    return F.concat(
         p, F.lit("://"), h, port_out, pth,
         F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)))
-    return d.select("doc_id", "url", canon.alias("url_canonical"))
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of every crawl pipeline
+    (CCNet / RefinedWeb both dedup on canonical URL before any content
+    hashing, because re-crawls and tracking-param variants of one page
+    are the cheapest duplicates to kill). Documents whose synthesized
+    URLs canonicalize to the same RFC 3986 form (via ``_url_canonical``,
+    the same parse url_canonicalize pins) are grouped; the lowest
+    doc_id in each group is kept.
+
+    The synthesis here is deliberately COARSER than url_canonicalize's
+    (hosts mod 5, paths mod 7, ids mod 13 - a 455-key space, smaller than even the sf0.001 corpus, plus case / default-port /
+    utm / fragment noise) so canonical collisions actually occur at
+    test scale — the keep-one window and group counts are exercised on
+    real multi-member groups, not a corpus of singletons.
+
+    Scale shape: one window partitioned by canonical URL (the shuffle
+    key IS the dedup key, so a giant duplicate group caps at its own
+    partition and AQE skew-split handles a pathological one); no global
+    sort, no driver round-trip."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(F.lit("http"), F.lit("HTTP"), F.lit("Http"),
+                F.lit("hTTp")), (k % 4 + 1).cast("int"))
+    hostcase = F.element_at(
+        F.array(F.lit("WWW.Example"), F.lit("www.example"),
+                F.lit("Www.EXAMPLE")), (k % 3 + 1).cast("int"))
+    host = F.concat(hostcase, (k % 5).cast("string"), F.lit(".com"))
+    port = F.element_at(F.array(F.lit(":80"), F.lit("")),
+                        (k % 2 + 1).cast("int"))
+    path = F.concat(F.lit("/p"), (k % 7).cast("string"))
+    query = F.element_at(F.array(
+        F.lit("id="), F.lit("utm_source=feed&id="),
+        F.lit("utm_campaign=x&utm_medium=y&id=")), (k % 3 + 1).cast("int"))
+    frag = F.when(k % 5 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    raw = F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"),
+                   query, (k % 13).cast("string"), frag)
+    d = (d.select("doc_id", raw.alias("url"))
+         .select("doc_id", _url_canonical().alias("url_canonical")))
+    w = Window.partitionBy("url_canonical")
+    return d.select(
+        "doc_id", "url_canonical",
+        F.count("*").over(w).alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"))
 
 
 _SHARD_BYTES = 4096
@@ -1053,7 +1106,32 @@ ORACLES["normalize_text"] = """
     "dto": _NORM_DECOR_TO,
 }
 
-ORACLES["url_canonicalize"] = """
+# shared RFC 3986 canonicalization SQL (expects a CTE `u(doc_id, url)`
+# to be in scope) — the DuckDB twin of _url_canonical()
+_SQL_URL_CANON = """parts AS (
+      SELECT doc_id, url,
+        LOWER(REGEXP_EXTRACT(url, '^([^:]+)://', 1)) AS scheme,
+        LOWER(REGEXP_EXTRACT(url, '://([^/:?#]+)', 1)) AS host,
+        REGEXP_EXTRACT(url, '://[^/:?#]+:([0-9]+)', 1) AS port,
+        REGEXP_EXTRACT(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+        ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+          STR_SPLIT(REGEXP_EXTRACT(url, '\\?([^#]*)', 1), '&'),
+          x -> NOT REGEXP_MATCHES(x, '^utm_') AND x <> '')), '&') AS qn
+      FROM u
+    ), canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host
+             || CASE WHEN port = ''
+                       OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                     THEN '' ELSE ':' || port END
+             || path
+             || CASE WHEN qn = '' THEN '' ELSE '?' || qn END
+               AS url_canonical
+      FROM parts
+    )"""
+
+ORACLES["url_canonicalize"] = f"""
     WITH u AS (
       SELECT doc_id,
         (['http','HTTP','https','HTTPS'])[(doc_id % 4 + 1)::INT]
@@ -1067,32 +1145,38 @@ ORACLES["url_canonicalize"] = """
           || CASE WHEN doc_id % 5 = 0 THEN '#sec' || (doc_id % 9)
                   ELSE '' END AS url
       FROM documents
-    ), parts AS (
-      SELECT doc_id, url,
-        LOWER(REGEXP_EXTRACT(url, '^([^:]+)://', 1)) AS scheme,
-        LOWER(REGEXP_EXTRACT(url, '://([^/:?#]+)', 1)) AS host,
-        REGEXP_EXTRACT(url, '://[^/:?#]+:([0-9]+)', 1) AS port,
-        REGEXP_EXTRACT(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
-        ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
-          STR_SPLIT(REGEXP_EXTRACT(url, '\\?([^#]*)', 1), '&'),
-          x -> NOT REGEXP_MATCHES(x, '^utm_') AND x <> '')), '&') AS qn
-      FROM u
-    )
-    SELECT doc_id, url,
-           scheme || '://' || host
-           || CASE WHEN port = ''
-                     OR (scheme = 'http' AND port = '80')
-                     OR (scheme = 'https' AND port = '443')
-                   THEN '' ELSE ':' || port END
-           || path
-           || CASE WHEN qn = '' THEN '' ELSE '?' || qn END
-             AS url_canonical
-    FROM parts
+    ), {_SQL_URL_CANON}
+    SELECT doc_id, url, url_canonical FROM canon
+"""
+
+ORACLES["dedup_url"] = f"""
+    WITH u AS (
+      SELECT doc_id,
+        (['http','HTTP','Http','hTTp'])[(doc_id % 4 + 1)::INT]
+          || '://'
+          || (['WWW.Example','www.example','Www.EXAMPLE'])
+               [(doc_id % 3 + 1)::INT]
+          || (doc_id % 5) || '.com'
+          || ([':80',''])[(doc_id % 2 + 1)::INT]
+          || '/p' || (doc_id % 7)
+          || '?'
+          || (['id=','utm_source=feed&id=',
+               'utm_campaign=x&utm_medium=y&id='])[(doc_id % 3 + 1)::INT]
+          || (doc_id % 13)
+          || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ), {_SQL_URL_CANON}
+    SELECT doc_id, url_canonical,
+           COUNT(*) OVER (PARTITION BY url_canonical) AS n_dups,
+           doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical)
+             AS is_kept
+    FROM canon
 """
 
 QUERIES = {
     "pii_scrub": pii_scrub,
     "url_canonicalize": url_canonicalize,
+    "dedup_url": dedup_url,
     "shard_assign": shard_assign,
     "contamination_check": contamination_check,
     "contamination_bloom": contamination_bloom,

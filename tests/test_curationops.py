@@ -299,3 +299,103 @@ def test_corpus_report_components_are_consistent(spark):
             .where(F.col("est_jaccard") >= 0.5).count())
     assert row["n_near_dup_pairs"] == near
     assert row["n_docs"] > 0 and row["total_tokens"] > 0
+
+
+def test_bigram_perplexity_matches_pure_python(spark, tmp_path):
+    """Exact fixed-point agreement with an independent pure-Python
+    bigram LM (add-1, lp6 = ln6(c2+1) - ln6(c1+V), integer mean
+    rounding) — the same independent-reimplementation discipline as
+    pagerank/bm25. The single-word doc must be excluded."""
+    import math
+    import re
+    from collections import Counter
+
+    from pdfminer_spark.ops.curationops import bigram_perplexity
+
+    texts = [
+        "the cat sat on the mat and the cat ran",
+        "the cat ran fast",
+        "dogs bark loudly at strangers every single day",
+        "a b",
+        "solo",
+    ]
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z0-9']+", t.lower()) if w]
+
+    docs = {i: words(t) for i, t in enumerate(texts)}
+    bigrams = {i: list(zip(w, w[1:])) for i, w in docs.items()
+               if len(w) >= 2}
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    v = len({w for ws in docs.values() for w in ws})
+
+    def ln6(x):
+        return math.floor(math.log(x) * 1e6)
+
+    expected = {}
+    for i, bs in bigrams.items():
+        s6 = sum(ln6(c2[b] + 1) - ln6(c1[b[0]] + v) for b in bs)
+        n = len(bs)
+        sign = 0 if s6 == 0 else (1 if s6 > 0 else -1)
+        e4 = sign * ((2 * abs(s6) + 100 * n) // (200 * n))
+        expected[i] = (n, e4 / 10000)
+
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r
+            for r in bigram_perplexity(spark, sf).collect()}
+    assert set(rows) == set(expected)  # doc 4 ("solo") excluded
+    for i, (n, mean) in expected.items():
+        assert rows[i]["n_bigrams"] == n, i
+        assert rows[i]["mean_logprob"] == mean, i
+    # repeated bigrams ("the cat" x3) must outscore all-hapax bigrams
+    assert rows[0]["mean_logprob"] > rows[2]["mean_logprob"]
+
+
+def test_bigram_perplexity_buckets_cover_thirds(spark):
+    """Head/middle/tail by the value-cutoff rule at the test SF: all
+    three buckets non-empty and ordered by score."""
+    from pdfminer_spark.ops.curationops import bigram_perplexity
+
+    rows = bigram_perplexity(spark, SF_DIR).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["mean_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+
+def test_char_entropy_matches_pure_python(spark, tmp_path):
+    """Exact fixed-point agreement with an independent pure-Python
+    Shannon entropy (ent6 = ln6(n) - sum(c*ln6(c)) // n); constant-char
+    text scores exactly 0, uniform 4-char text ~ln 4."""
+    import math
+    from collections import Counter
+
+    from pdfminer_spark.ops.curationops import char_entropy
+
+    texts = ["aaaa", "abab", "abcd", "hello world, hello spark!"]
+
+    def ln6(x):
+        return math.floor(math.log(x) * 1e6)
+
+    expected = {}
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = len(t)
+        ent6 = ln6(n) - sum(k * ln6(k) for k in c.values()) // n
+        expected[i] = (n, len(c), ent6 / 1e6)
+
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in char_entropy(spark, sf).collect()}
+    assert set(rows) == set(expected)
+    for i, (n, u, ent) in expected.items():
+        assert rows[i]["n_chars"] == n, i
+        assert rows[i]["n_unique"] == u, i
+        assert rows[i]["entropy"] == ent, i
+    assert rows[0]["entropy"] == 0.0                     # "aaaa"
+    assert abs(rows[2]["entropy"] - math.log(4)) < 1e-5  # "abcd"
+    # more distinct structure -> higher entropy
+    assert rows[0]["entropy"] < rows[1]["entropy"] < rows[2]["entropy"]

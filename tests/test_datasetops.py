@@ -348,3 +348,35 @@ def test_shard_assign_invariants(spark):
     assert len(per_shard) >= 2  # the corpus actually spans shards
     for (sid, total) in per_shard.items():
         assert total <= _SHARD_BYTES + max_doc
+
+
+def test_dedup_url_keeps_one_per_canonical_group(spark):
+    """URL dedup invariants at the test SF: exactly one kept doc per
+    canonical URL (the min doc_id), n_dups equals the true group size,
+    collisions actually occur (the coarser synthesis guarantees
+    multi-member groups), and every canonical form is fully
+    normalized (lowercase, no :80, no utm_*, no fragment)."""
+    import re
+    from collections import Counter
+
+    from pdfminer_spark.ops.datasetops import dedup_url
+
+    rows = dedup_url(spark, SF_DIR).collect()
+    assert rows
+    groups = Counter(r["url_canonical"] for r in rows)
+    assert max(groups.values()) >= 2  # collisions exist at test scale
+    kept = {}
+    for r in rows:
+        assert r["n_dups"] == groups[r["url_canonical"]], r
+        assert re.fullmatch(
+            r"http://www\.example\d\.com/p\d+\?id=\d+",
+            r["url_canonical"]), r
+        if r["is_kept"]:
+            kept.setdefault(r["url_canonical"], []).append(r["doc_id"])
+    assert set(kept) == set(groups)  # one kept entry per group...
+    min_ids = {}
+    for r in rows:
+        k = r["url_canonical"]
+        min_ids[k] = min(min_ids.get(k, r["doc_id"]), r["doc_id"])
+    for k, ids in kept.items():
+        assert ids == [min_ids[k]], k  # ...and it is the min doc_id
