@@ -1,4 +1,4 @@
-"""Pure-numpy still-image decoders: PNG, JPEG, and GIF.
+"""Pure-numpy still-image decoders: PNG, JPEG, GIF, and TIFF.
 
 Closes the r6 "honest partial" in the multimodal decode step: compressed
 image codecs previously fell back to the deterministic fake because no
@@ -14,8 +14,11 @@ In scope: sequential AND progressive (SOF2, spectral selection +
 successive approximation) JPEG; non-interlaced and Adam7-interlaced
 PNG; GIF87a/89a (LSB-first variable-width LZW, interlace, Graphic
 Control Extension transparency — first frame's pixels, total frame
-count). Out of scope (still the documented fallback in
-``decode_media``): sub-byte-depth interlaced PNG,
+count); baseline TIFF 6.0 (both byte orders, 8-bit gray/RGB strips,
+Compression none/LZW/PackBits, Predictor 2 — first IFD's pixels, IFD
+count as ``frames``). Out of scope (still the documented fallback in
+``decode_media``): sub-byte-depth interlaced PNG, tiled/planar/16-bit
+TIFF,
 arithmetic/12-bit/lossless/hierarchical JPEG, and the video/audio
 compressed codecs (MP3/H.264 need a real codec stack).
 
@@ -840,3 +843,182 @@ def decode_gif(b: bytes) -> dict:
     (w, h, px) = first
     return {"width": w, "height": h, "frames": frames,
             "bpp": 8 * px.shape[2], "pixels": np.ascontiguousarray(px)}
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+# baseline field types this decoder reads: BYTE, SHORT, LONG
+_TIFF_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+_TIFF_MAX_IFDS = 4096  # hostile-input ceiling on the IFD chain
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §9 PackBits: header n<128 = n+1 literals, n>128 =
+    257-n replicates of the next byte, n=128 = no-op. Expansion is
+    capped at the caller's expected strip size (hostile-input rule)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            if i + h + 1 > n:
+                raise ImageDecodeError("PackBits literal run truncated")
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                raise ImageDecodeError("PackBits replicate run truncated")
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    if len(out) < expected:
+        raise ImageDecodeError("PackBits output short: %d < %d"
+                               % (len(out), expected))
+    return bytes(out[:expected])
+
+
+def decode_tiff(b: bytes) -> dict:
+    """Decode a baseline TIFF 6.0 still image: both byte orders (II/MM),
+    8-bit grayscale (PhotometricInterpretation 0/1) and RGB (2), chunky
+    planar layout, strip organization (any RowsPerStrip), Compression 1
+    (none), 5 (LZW — the SAME MSB-first early-change variant as PDF
+    LZWDecode, reused from pdf/filters.lzwdecode; cf. TIFF6 §13 vs PDF
+    32000-1 §7.4.4) with optional horizontal-differencing Predictor 2,
+    and 32773 (PackBits). Multi-IFD files report ``frames`` = IFD count
+    and decode the first IFD, mirroring decode_gif's first-frame
+    contract. Out of scope (raise, so decode_media falls back): planar
+    configuration 2, palette/bilevel/16-bit data, tiles, JPEG-in-TIFF.
+
+    Hostile-input bounds: IFD chain cycles and >4096-IFD chains raise;
+    geometry is checked against _MAX_PIXELS before allocation; PackBits
+    and LZW expansion are capped at the declared strip size."""
+    if b[:4] not in TIFF_SIGS:
+        raise ImageDecodeError("not a TIFF signature")
+    endian = "<" if b[:2] == b"II" else ">"
+
+    def u(fmt: str, off: int):
+        size = struct.calcsize(endian + fmt)
+        if off < 0 or off + size > len(b):
+            raise ImageDecodeError("TIFF read beyond EOF at %d" % off)
+        return struct.unpack_from(endian + fmt, b, off)
+
+    (ifd_off,) = u("I", 4)
+    frames = 0
+    first_tags = None
+    seen: set[int] = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ImageDecodeError("TIFF IFD chain cycle at %d" % ifd_off)
+        seen.add(ifd_off)
+        if frames >= _TIFF_MAX_IFDS:
+            raise ImageDecodeError("TIFF IFD chain too long")
+        (n_entries,) = u("H", ifd_off)
+        tags = {}
+        for i in range(n_entries):
+            eoff = ifd_off + 2 + i * 12
+            (tag, typ) = u("HH", eoff)
+            (cnt,) = u("I", eoff + 4)
+            tags[tag] = (typ, cnt, eoff + 8)
+        if first_tags is None:
+            first_tags = tags
+        (ifd_off,) = u("I", ifd_off + 2 + n_entries * 12)
+        frames += 1
+    if first_tags is None:
+        raise ImageDecodeError("TIFF has no IFD")
+    tags = first_tags
+
+    def vals(tag: int, default=None):
+        if tag not in tags:
+            return default
+        (typ, cnt, voff) = tags[tag]
+        if typ not in _TIFF_TYPES:
+            raise ImageDecodeError("TIFF tag %d has non-baseline type %d"
+                                   % (tag, typ))
+        (fmt, size) = _TIFF_TYPES[typ]
+        if cnt > len(b):
+            raise ImageDecodeError("TIFF tag %d count overflow" % tag)
+        total = size * cnt
+        pos = voff if total <= 4 else u("I", voff)[0]
+        return list(u(str(cnt) + fmt, pos))
+
+    def val1(tag: int, default=None):
+        v = vals(tag, None)
+        if v is None:
+            return default
+        if not v:
+            raise ImageDecodeError("TIFF tag %d empty" % tag)
+        return v[0]
+
+    w = val1(256)
+    h = val1(257)
+    if w is None or h is None:
+        raise ImageDecodeError("TIFF missing ImageWidth/ImageLength")
+    spp = val1(277, 1)
+    if not (0 < w and 0 < h and 0 < spp <= 4
+            and w * h * spp <= _MAX_PIXELS):
+        raise ImageDecodeError("bad TIFF dimensions %dx%dx%d"
+                               % (w, h, spp))
+    bits = vals(258, [1])
+    if bits != [8] * spp:
+        raise ImageDecodeError("unsupported TIFF BitsPerSample %r" % bits)
+    comp = val1(259, 1)
+    if comp not in (1, 5, 32773):
+        raise ImageDecodeError("unsupported TIFF compression %d" % comp)
+    photo = val1(262, 1)
+    if photo not in (0, 1, 2):
+        raise ImageDecodeError("unsupported TIFF photometric %d" % photo)
+    if photo == 2 and spp < 3:
+        raise ImageDecodeError("TIFF RGB with %d samples" % spp)
+    if val1(284, 1) != 1:
+        raise ImageDecodeError("unsupported TIFF planar configuration")
+    pred = val1(317, 1)
+    if pred not in (1, 2):
+        raise ImageDecodeError("unsupported TIFF predictor %d" % pred)
+    offsets = vals(273)
+    counts = vals(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageDecodeError("TIFF strip tables missing or mismatched")
+    rps = val1(278, h)
+    if rps <= 0:
+        raise ImageDecodeError("bad TIFF RowsPerStrip %d" % rps)
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) != n_strips:
+        raise ImageDecodeError("TIFF strip count %d != expected %d"
+                               % (len(offsets), n_strips))
+
+    from pdfminer_spark.pdf.filters import lzwdecode
+
+    parts = []
+    for (i, (off, cnt)) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - i * rps)
+        expected = rows * w * spp
+        if off < 0 or cnt < 0 or off + cnt > len(b):
+            raise ImageDecodeError("TIFF strip %d beyond EOF" % i)
+        raw = b[off:off + cnt]
+        if comp == 1:
+            if len(raw) < expected:
+                raise ImageDecodeError("TIFF strip %d short" % i)
+            raw = raw[:expected]
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expected)
+        else:  # 5: LZW (shared with the PDF filter stack)
+            raw = lzwdecode(raw)
+            if len(raw) < expected:
+                raise ImageDecodeError("TIFF LZW strip %d short" % i)
+            raw = raw[:expected]
+        strip = np.frombuffer(raw, np.uint8).reshape(rows, w, spp)
+        if pred == 2:  # horizontal differencing: cumsum along width
+            strip = np.cumsum(strip.astype(np.uint32), axis=1) \
+                .astype(np.uint8)
+        parts.append(strip)
+    px = np.concatenate(parts, axis=0)
+    if photo == 0:  # WhiteIsZero: normalize to black-is-zero
+        px = (255 - px.astype(np.uint16)).astype(np.uint8)
+    return {"width": w, "height": h, "frames": frames,
+            "bpp": 8 * spp, "pixels": np.ascontiguousarray(px)}

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video cells are opaque ``binary`` columns. The decode step
-(``decode_media``) sniffs magic bytes and REALLY decodes five formats
+(``decode_media``) sniffs magic bytes and REALLY decodes six formats
 with pure numpy/stdlib — uncompressed BMP (BITMAPINFOHEADER), RIFF/WAVE
 PCM (+ G.711 mu-law/A-law), PNG (zlib + all five scanline filters,
 Adam7 interlace; ``ops/imagedec.py``), GIF87a/89a (LSB-first LZW,
-interlace, GCE transparency), and JPEG — sequential AND progressive
+interlace, GCE transparency), baseline TIFF 6.0 (both byte orders,
+strip layout, Compression none/LZW/PackBits, Predictor 2, multi-IFD
+frame count), and JPEG — sequential AND progressive
 SOF2 (full ITU-T.81 Huffman/DCT path incl. successive approximation,
 triangle chroma upsampling; all differentially tested against the JVM's
 javax.imageio) — yielding true width/height/pixel rows resp.
@@ -210,8 +212,9 @@ def decode_media(payload: bytes, kind: str) -> dict:
     import struct
 
     from pdfminer_spark.ops.imagedec import (GIF_SIGS, ImageDecodeError,
-                                             PNG_SIG, decode_gif,
-                                             decode_jpeg, decode_png)
+                                             PNG_SIG, TIFF_SIGS, decode_gif,
+                                             decode_jpeg, decode_png,
+                                             decode_tiff)
 
     # a sniffed parse that fails falls BACK to the fake (ADVICE r5): an
     # opaque payload whose text merely starts with a magic prefix must
@@ -242,6 +245,11 @@ def decode_media(payload: bytes, kind: str) -> dict:
     if payload[:6] in GIF_SIGS:
         try:
             return decode_gif(payload)
+        except (ImageDecodeError, IndexError, struct.error):
+            return _fake_decode(payload, kind)
+    if payload[:4] in TIFF_SIGS:
+        try:
+            return decode_tiff(payload)
         except (ImageDecodeError, IndexError, struct.error):
             return _fake_decode(payload, kind)
     return _fake_decode(payload, kind)
@@ -612,6 +620,142 @@ def _gif_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             "doc_id", "width", "height", "bpp", "frames", "pixel_sum"])
 
 
+def _tiff_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    def lzw_literals(raw: bytes) -> bytes:
+        # "uncompressed" TIFF LZW: 9-bit literal codes only, with a
+        # CLEAR re-emitted every 250 literals so the decoder's table
+        # (258 + k-1 entries after k literals) never reaches the 511
+        # width-growth point — every code stays 9-bit, MSB-first
+        out = bytearray()
+        buf = nb = 0
+
+        def emit(code):
+            nonlocal buf, nb
+            buf = (buf << 9) | code
+            nb += 9
+            while nb >= 8:
+                nb -= 8
+                out.append((buf >> nb) & 255)
+
+        emit(256)
+        for (i, ch) in enumerate(raw):
+            if i and i % 250 == 0:
+                emit(256)
+            emit(ch)
+        emit(257)
+        if nb:
+            out.append((buf << (8 - nb)) & 255)
+        return bytes(out)
+
+    def packbits_literals(raw: bytes) -> bytes:
+        # all-literal PackBits (spec-valid; replicate runs are pinned
+        # by the javax.imageio differential test instead)
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            chunk = raw[i:i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        return bytes(out)
+
+    def build_tiff(doc_id: int) -> bytes:
+        w = 8 + doc_id % 11
+        h = 8 + (doc_id // 11) % 6
+        e = "<" if doc_id % 2 == 0 else ">"
+        comp = (1, 32773, 5)[doc_id % 3]
+        pred = 2 if comp == 5 else 1
+        xx = np.arange(w)[None, :, None]
+        yy = np.arange(h)[:, None, None]
+        cc = np.arange(3)[None, None, :]
+        px = ((xx * 3 + yy * 5 + cc * 7 + doc_id) % 256).astype(np.uint8)
+        if pred == 2:  # horizontal differencing per row/channel
+            d = px.astype(np.int16)
+            d[:, 1:] = (d[:, 1:] - d[:, :-1]) % 256
+            px = d.astype(np.uint8)
+        rps = 4
+        strips, strip_offs = [], []
+        body = bytearray()
+        for y0 in range(0, h, rps):
+            raw = px[y0:y0 + rps].tobytes()
+            if comp == 5:
+                raw = lzw_literals(raw)
+            elif comp == 32773:
+                raw = packbits_literals(raw)
+            strip_offs.append(8 + len(body))
+            body += raw
+            strips.append(raw)
+
+        def value_field(typ, vals):
+            fmt = {3: "H", 4: "I"}[typ]
+            blob = b"".join(struct.pack(e + fmt, v) for v in vals)
+            if len(blob) <= 4:
+                return blob.ljust(4, b"\x00")
+            off = 8 + len(body)
+            body.extend(blob)
+            return struct.pack(e + "I", off)
+
+        entries = []
+
+        def ent(tag, typ, vals):
+            entries.append(struct.pack(e + "HHI", tag, typ, len(vals))
+                           + value_field(typ, vals))
+
+        ent(256, 4, [w])
+        ent(257, 4, [h])
+        ent(258, 3, [8, 8, 8])
+        ent(259, 3, [comp])
+        ent(262, 3, [2])
+        ent(273, 4, strip_offs)
+        ent(277, 3, [3])
+        ent(278, 4, [rps])
+        ent(279, 4, [len(s) for s in strips])
+        if pred == 2:
+            ent(317, 3, [pred])
+        ifd0 = 8 + len(body)
+        chain = bytearray(struct.pack(e + "H", len(entries))
+                          + b"".join(entries))
+        if doc_id % 5 == 0:  # second (empty) IFD -> frames = 2
+            nxt = ifd0 + len(chain) + 4
+            chain += struct.pack(e + "I", nxt) + struct.pack(e + "H", 0)
+        chain += struct.pack(e + "I", 0)
+        hdr = (b"II*\x00" if e == "<" else b"MM\x00*") \
+            + struct.pack(e + "I", ifd0)
+        return hdr + bytes(body) + bytes(chain)
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            meta = decode_media(build_tiff(int(doc_id)), "image")
+            px = meta.get("pixels")
+            rows.append((int(doc_id), meta["width"], meta["height"],
+                         meta.get("bpp", -1), meta["frames"],
+                         int(px.sum()) if px is not None else -1))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "bpp", "frames", "pixel_sum"])
+
+
+def media_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL baseline-TIFF decode under the driver's oracle
+    gate — the media_decode_png pattern for the strip/IFD path: per
+    document, build an RGB TIFF executor-side from a closed-form pixel
+    function of doc_id with doc_id-selected byte order (even II, odd
+    MM), compression (none / PackBits / LZW with Predictor 2 by
+    doc_id%3), multi-strip layout (RowsPerStrip 4), and a second IFD on
+    doc_id%5==0 (frames=2); decode through ``decode_media`` (magic
+    sniff -> ops/imagedec.decode_tiff) and emit dimensions + the
+    decoded pixel byte sum. The DuckDB oracle recomputes the sum from
+    the closed form alone — equality holds only if strip reassembly,
+    both LZW/PackBits paths, and the predictor cumsum are byte-perfect;
+    a fake fallback surfaces as pixel_sum=-1 and a hash mismatch.
+
+    Scale: one map-side stage on the scan partitions; per-row work
+    bounded by the fixed <=18x13 synthetic frame."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id").mapInPandas(
+        _tiff_decode_batches, schema=_PNG_DECODE_SCHEMA)
+
+
 def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL GIF decode under the driver's oracle gate — the
     media_decode_png pattern for the LSB-first LZW path: per document,
@@ -692,6 +836,28 @@ ORACLES["media_decode_gif"] = """
     FROM px
 """
 
+ORACLES["media_decode_tiff"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             (8 + doc_id % 11)::INT AS width,
+             (8 + (doc_id // 11) % 6)::INT AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             SUM((x * 3 + y * 5 + c * 7 + doc_id) % 256) AS pixel_sum
+      FROM dims,
+           (SELECT UNNEST(RANGE(0, 19)) AS x),
+           (SELECT UNNEST(RANGE(0, 14)) AS y),
+           (SELECT UNNEST(RANGE(0, 3)) AS c)
+      WHERE x < width AND y < height
+      GROUP BY doc_id, width, height
+    )
+    SELECT doc_id, width, height, 24::INT AS bpp,
+           (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::INT AS frames,
+           pixel_sum::BIGINT AS pixel_sum
+    FROM px
+"""
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
@@ -699,4 +865,5 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
     "media_decode_png": media_decode_png,
     "media_decode_gif": media_decode_gif,
+    "media_decode_tiff": media_decode_tiff,
 }

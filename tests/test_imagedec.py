@@ -532,3 +532,291 @@ def test_gif_mutation_fuzz_never_escapes():
         d = decode_media(bytes(buf), "image")
         assert isinstance(d, dict) and "frames" in d
     assert time.time() - t0 < 30.0
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (MSB-first, early-change width growth),
+    written against the spec for roundtrip tests — width grows when the
+    NEXT assigned code would need it, matching the decoder's
+    size==511/1023/2047 transitions exactly."""
+    out = bytearray()
+    buf = nb = 0
+
+    def emit(code, width):
+        nonlocal buf, nb
+        buf = (buf << width) | code
+        nb += width
+        while nb >= 8:
+            nb -= 8
+            out.append((buf >> nb) & 255)
+
+    def width_for(next_code):
+        if next_code < 512:
+            return 9
+        if next_code < 1024:
+            return 10
+        if next_code < 2048:
+            return 11
+        return 12
+
+    dic = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(256, 9)
+    s = b""
+    for ch in data:
+        cand = s + bytes([ch])
+        if cand in dic:
+            s = cand
+            continue
+        emit(dic[s], width_for(nxt))
+        dic[cand] = nxt
+        nxt += 1
+        s = bytes([ch])
+        if nxt >= 4094:  # stay clear of the 12-bit ceiling
+            emit(256, width_for(nxt))
+            dic = {bytes([i]): i for i in range(256)}
+            nxt = 258
+    if s:
+        emit(dic[s], width_for(nxt))
+        nxt += 1
+    emit(257, width_for(nxt))
+    if nb:
+        out.append((buf << (8 - nb)) & 255)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits greedy encoder: replicate runs >=3 (or >=2
+    at a literal-run boundary), literal runs otherwise, both capped at
+    128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes((257 - run, data[i]))
+            i = j + 1
+            continue
+        j = i
+        while (j + 1 < n and j - i < 127
+               and not (j + 2 < n and data[j + 1] == data[j + 2])):
+            j += 1
+        out.append(j - i)
+        out += data[i:j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _tiff_encode_py(img, *, endian="<", compression=1, predictor=1,
+                    rows_per_strip=None, photometric=None, extra_ifds=0):
+    """Handcrafted baseline TIFF builder: gray (HxW) or RGB (HxWx3)
+    uint8, both byte orders, strip organization, Compression
+    1/5/32773, Predictor 2, WhiteIsZero, and optional empty trailing
+    IFDs (multi-page ``frames`` counting). Values are left-justified in
+    the 4-byte IFD value field per TIFF 6.0 §2."""
+    import struct as st
+
+    e = endian
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    if photometric is None:
+        photometric = 1 if gray else 2
+    px = img.reshape(h, w, spp)
+    if photometric == 0:
+        px = 255 - px
+    if predictor == 2:
+        px = np.diff(px.astype(np.int16), axis=1,
+                     prepend=px[:, :1].astype(np.int16) * 0
+                     + px[:, :1]) % 256
+        px[:, 0] = img.reshape(h, w, spp)[:, 0] if photometric != 0 \
+            else (255 - img.reshape(h, w, spp))[:, 0]
+        px = px.astype(np.uint8)
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = px[y0:y0 + rps].tobytes()
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+
+    def value_field(typ, vals_):
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        blob = b"".join(st.pack(e + fmt, v) for v in vals_)
+        return blob.ljust(4, b"\x00") if len(blob) <= 4 else blob
+
+    body = bytearray()  # everything after the 8-byte header
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(8 + len(body))
+        body += s
+
+    def overflow(typ, vals_):
+        blob = value_field(typ, vals_)
+        if len(blob) <= 4:
+            return blob
+        off = 8 + len(body)
+        body.extend(blob)
+        return st.pack(e + "I", off)
+
+    entries = []
+    def ent(tag, typ, vals_):
+        entries.append(st.pack(e + "HHI", tag, typ, len(vals_))
+                       + overflow(typ, vals_))
+
+    ent(256, 4, [w])
+    ent(257, 4, [h])
+    ent(258, 3, [8] * spp)
+    ent(259, 3, [compression])
+    ent(262, 3, [photometric])
+    ent(273, 4, strip_offs)
+    ent(277, 3, [spp])
+    ent(278, 4, [rps])
+    ent(279, 4, [len(s) for s in strips])
+    if predictor != 1:
+        ent(317, 3, [predictor])
+    ifd0 = 8 + len(body)
+    chain = bytearray(st.pack(e + "H", len(entries)) + b"".join(entries))
+    for k in range(extra_ifds):
+        nxt_off = ifd0 + len(chain) + 4
+        chain += st.pack(e + "I", nxt_off)
+        chain += st.pack(e + "H", 0)  # empty IFD: 0 entries
+    chain += st.pack(e + "I", 0)
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + st.pack(e + "I", ifd0)
+    return hdr + bytes(body) + bytes(chain)
+
+
+def test_tiff_uncompressed_gray_rgb_both_orders():
+    from pdfminer_spark.ops.imagedec import decode_tiff
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (6, 9), np.uint8)
+    rgb = rng.integers(0, 256, (5, 7, 3), np.uint8)
+    for e in ("<", ">"):
+        d = decode_tiff(_tiff_encode_py(gray, endian=e))
+        assert (d["width"], d["height"], d["bpp"], d["frames"]) == (9, 6, 8, 1)
+        assert np.array_equal(d["pixels"][..., 0], gray)
+        d = decode_tiff(_tiff_encode_py(rgb, endian=e))
+        assert (d["width"], d["height"], d["bpp"]) == (7, 5, 24)
+        assert np.array_equal(d["pixels"], rgb)
+    # WhiteIsZero comes back normalized to black-is-zero
+    d = decode_tiff(_tiff_encode_py(gray, photometric=0))
+    assert np.array_equal(d["pixels"][..., 0], gray)
+
+
+def test_tiff_lzw_predictor_packbits_multistrip_multipage():
+    from pdfminer_spark.ops.imagedec import decode_tiff
+
+    rng = np.random.default_rng(22)
+    # smooth gradient + runs: exercises predictor-2 wins and PackBits
+    # replicate runs; 64x48 RGB pushes the LZW dict past the 9->10-bit
+    # width transition (>511 entries)
+    yy, xx = np.mgrid[0:48, 0:64]
+    rgb = np.stack([(xx * 2) % 256, (yy * 3) % 256,
+                    ((xx // 8) * 16) % 256], -1).astype(np.uint8)
+    noisy = np.clip(rgb + rng.integers(-4, 5, rgb.shape), 0, 255) \
+        .astype(np.uint8)
+    for img in (rgb, noisy):
+        for (comp, pred) in ((5, 1), (5, 2), (32773, 1)):
+            for e in ("<", ">"):
+                t = _tiff_encode_py(img, endian=e, compression=comp,
+                                    predictor=pred, rows_per_strip=5)
+                d = decode_tiff(t)
+                assert np.array_equal(d["pixels"], img), (comp, pred, e)
+    # multi-page: 3 extra empty IFDs -> frames=4, first page's pixels
+    d = decode_tiff(_tiff_encode_py(rgb, extra_ifds=3))
+    assert d["frames"] == 4
+    assert np.array_equal(d["pixels"], rgb)
+
+
+def test_tiff_matches_imageio(_img):
+    """Differential oracle: javax.imageio's TIFF writer (JDK 9+ ships
+    the plugin) encodes the SAME RGB fixture with each compression our
+    decoder supports; pixel agreement must be exact (all lossless)."""
+    from pdfminer_spark.ops.imagedec import decode_tiff
+
+    (spark, noisy) = _img
+    jvm = spark._jvm
+    (BI, make_image, _, jvm_rgb, _) = _jvm_tools(spark)
+    bi = make_image(noisy, BI.TYPE_INT_RGB)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    for comp in (None, "LZW", "PackBits"):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        if comp is not None:
+            param.setCompressionMode(2)  # MODE_EXPLICIT
+            param.setCompressionType(comp)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                     param)
+        ios.flush()
+        data = bytes(baos.toByteArray())
+        got = decode_tiff(data)["pixels"]
+        assert np.array_equal(got, noisy), comp
+        assert np.array_equal(got, jvm_rgb(data)), comp
+
+
+def test_tiff_hostile_bounded():
+    import struct as st
+
+    from pdfminer_spark.ops.imagedec import decode_tiff
+    from pdfminer_spark.ops.multimodal import decode_media
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (4, 6), np.uint8)
+    good = _tiff_encode_py(img)
+    # IFD chain cycle: next-IFD pointer back to IFD0
+    buf = bytearray(good)
+    (ifd0,) = st.unpack_from("<I", buf, 4)
+    (n,) = st.unpack_from("<H", buf, ifd0)
+    st.pack_into("<I", buf, ifd0 + 2 + n * 12, ifd0)
+    with pytest.raises(ImageDecodeError, match="cycle"):
+        decode_tiff(bytes(buf))
+    # dimension bomb: 1<<30 square declared in a 50-byte file
+    bomb = bytearray(good)
+    # tag 256 (ImageWidth) is entry 0, value at ifd0+2+8
+    st.pack_into("<I", bomb, ifd0 + 2 + 8, 1 << 30)
+    with pytest.raises(ImageDecodeError, match="dimensions"):
+        decode_tiff(bytes(bomb))
+    # strip beyond EOF
+    trunc = good[:len(good) - 40]
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(trunc)
+    # PackBits replicate run truncated mid-header
+    pb = _tiff_encode_py(np.zeros((8, 8), np.uint8), compression=32773)
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(pb[:len(pb) - 30] + pb[len(pb) - 20:])
+    # decode_media falls back to the fake on malformed TIFF, no raise
+    d = decode_media(bytes(buf), "image")
+    assert isinstance(d, dict) and "frames" in d
+
+
+def test_tiff_mutation_fuzz_never_escapes():
+    from pdfminer_spark.ops.multimodal import decode_media
+
+    rng = np.random.default_rng(24)
+    img = rng.integers(0, 256, (9, 13, 3), np.uint8)
+    fixtures = [_tiff_encode_py(img),
+                _tiff_encode_py(img, compression=5, predictor=2,
+                                rows_per_strip=3),
+                _tiff_encode_py(img, endian=">", compression=32773)]
+    t0 = time.time()
+    for _ in range(100):
+        for fix in fixtures:
+            buf = bytearray(fix)
+            for _ in range(rng.integers(1, 10)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            d = decode_media(bytes(buf), "image")
+            assert isinstance(d, dict) and "frames" in d
+    assert time.time() - t0 < 30.0

@@ -47,6 +47,8 @@ def test_queries_lead_with_stale_driver_row_ops():
     priority name is a typo that silently drops out of the dict
     comprehension)."""
     expected_head = [
+        "bigram_perplexity", "char_entropy", "dedup_url",
+        "media_decode_tiff",
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
         "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",

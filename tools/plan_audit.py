@@ -130,6 +130,11 @@ AUDITS = [
      "same contract as media_decode_png: ONE map-side MapInPandas on "
      "the doc_id-only scan, zero exchanges — the GIF build + LZW decode "
      "is per-row independent."),
+    ("media_decode_tiff",
+     "same contract as media_decode_png: ONE map-side MapInPandas on "
+     "the doc_id-only scan, zero exchanges — the TIFF build (strips, "
+     "both byte orders, LZW/PackBits/predictor) + real decode is "
+     "per-row independent."),
     ("pagerank",
      "ZERO parquet re-scans across the 5 power iterations: edges and "
      "nodes enter as Scan ExistingRDD leaves (one eager localCheckpoint "
