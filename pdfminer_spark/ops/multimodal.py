@@ -1,22 +1,26 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video cells are opaque ``binary`` columns. The decode step
-(``decode_media``) sniffs magic bytes and REALLY decodes six formats
+(``decode_media``) sniffs magic bytes and REALLY decodes eight formats
 with pure numpy/stdlib — uncompressed BMP (BITMAPINFOHEADER), RIFF/WAVE
 PCM (+ G.711 mu-law/A-law), PNG (zlib + all five scanline filters,
 Adam7 interlace; ``ops/imagedec.py``), GIF87a/89a (LSB-first LZW,
 interlace, GCE transparency), baseline TIFF 6.0 (both byte orders,
 strip layout, Compression none/LZW/PackBits, Predictor 2, multi-IFD
-frame count), and JPEG — sequential AND progressive
+frame count), JPEG — sequential AND progressive
 SOF2 (full ITU-T.81 Huffman/DCT path incl. successive approximation,
 triangle chroma upsampling; all differentially tested against the JVM's
-javax.imageio) — yielding true width/height/pixel rows resp.
-sample-frame count/rate/duration/PCM samples. Payloads that are none of
-these (e.g. the synthetic corpus's text stand-ins) fall back to the
-clearly marked deterministic fake (``_fake_decode``); the remaining
-compressed codecs (MP3, H.264) would need a real codec stack absent in
-this container, so those take the documented fallback rather than a
-partial decode.
+javax.imageio), RIFF AVI video (container chunk walk, true frame count,
+raw-DIB first-frame pixels, MJPG frames through the JPEG decoder), and
+MPEG-1 Layer III audio metadata (frame-header walk: true frame count,
+bitrate/rate/channels, sample-exact duration) — yielding true
+width/height/pixel rows resp. sample-frame count/rate/duration/PCM
+samples. Payloads that are none of these (e.g. the synthetic corpus's
+text stand-ins) fall back to the clearly marked deterministic fake
+(``_fake_decode``); fully decoding compressed audio/video PCM (MP3
+spectra, H.264) would need a real codec stack absent in this container,
+so those surfaces stay metadata-plus-fallback rather than a partial
+decode.
 
 Scale notes: doc_id is unique, so there is deliberately NO repartition
 before the mapInPandas — a shuffle of payload bytes ahead of a per-row
@@ -203,6 +207,159 @@ def _decode_wav(b: bytes) -> dict:
             "samples": samples.reshape(n_frames, channels)}
 
 
+_AVI_MAX_CHUNKS = 1 << 20  # hostile-input ceiling on the chunk walk
+
+
+def _decode_avi(b: bytes) -> dict:
+    """Real container-level decode of a RIFF AVI video: iterative LIST
+    chunk walk (no recursion — a LIST bomb can nest arbitrarily deep),
+    MainAVIHeader timing, the first ``vids`` stream's BITMAPINFOHEADER,
+    true frame-chunk count for that stream, and the FIRST frame's
+    pixels — raw DIB frames (BI_RGB 24-bit, bottom-up BGR rows padded
+    to 4 bytes) decoded fully in numpy, MJPG frames through the real
+    baseline-JPEG decoder in ``ops/imagedec``. Later frames count
+    toward ``frames``/duration but are not pixel-decoded, mirroring the
+    first-frame contract of decode_gif/decode_tiff."""
+    import struct
+
+    from pdfminer_spark.ops.imagedec import (ImageDecodeError,
+                                             decode_jpeg)
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise MediaDecodeError("not a RIFF/AVI payload")
+    avih = None
+    video_sid = None      # stream index of the first vids stream
+    handler = b""
+    strf = None           # its BITMAPINFOHEADER prefix
+    expect_strf = False
+    stream_idx = -1
+    frames: list[tuple[bytes, int, int]] = []  # (kind, offset, size)
+    n_chunks = 0
+    regions = [(12, len(b))]
+    while regions:
+        (i, end) = regions.pop()
+        while i + 8 <= end:
+            cid = b[i:i + 4]
+            (sz,) = struct.unpack_from("<I", b, i + 4)
+            body = i + 8
+            if body + sz > end:
+                raise MediaDecodeError("AVI chunk overruns its parent")
+            n_chunks += 1
+            if n_chunks > _AVI_MAX_CHUNKS:
+                raise MediaDecodeError("AVI chunk-count bomb")
+            if cid == b"LIST" and sz >= 4:
+                # descend in DOCUMENT order (strh must be seen before
+                # the movi frames it classifies): park the parent's
+                # continuation, walk the child now
+                regions.append((body + sz + (sz & 1), end))
+                (i, end) = (body + 4, body + sz)
+                continue
+            if cid == b"avih" and sz >= 40 and avih is None:
+                avih = struct.unpack_from("<10I", b, body)
+            elif cid == b"strh" and sz >= 8:
+                stream_idx += 1
+                expect_strf = False
+                if b[body:body + 4] == b"vids" and video_sid is None:
+                    video_sid = stream_idx
+                    handler = b[body + 4:body + 8]
+                    expect_strf = True
+            elif cid == b"strf" and expect_strf and sz >= 40:
+                strf = struct.unpack_from("<IiiHHI", b, body)
+                expect_strf = False
+            elif (cid[2:4] in (b"db", b"dc") and cid[:2].isdigit()
+                  and video_sid is not None
+                  and int(cid[:2]) == video_sid):
+                frames.append((cid[2:4], body, sz))
+            i = body + sz + (sz & 1)  # chunks are word-aligned
+    if strf is None or not frames:
+        raise MediaDecodeError("AVI missing video stream or frames")
+    (_, w, raw_h, _planes, bpp, compression) = strf
+    h = abs(raw_h)
+    if not (0 < w and 0 < h and w * h <= (1 << 26)):
+        raise MediaDecodeError("bad AVI dimensions %dx%d" % (w, h))
+    (kind0, off0, sz0) = frames[0]
+    mjpg = handler == b"MJPG" or compression == 0x47504A4D
+    if kind0 == b"dc" and mjpg:
+        try:
+            d = decode_jpeg(b[off0:off0 + sz0])
+        except (ImageDecodeError, IndexError, struct.error) as e:
+            raise MediaDecodeError("AVI MJPG frame: %s" % e)
+        if (d["width"], d["height"]) != (w, h):
+            raise MediaDecodeError("MJPG frame size != stream header")
+        px = d["pixels"]
+    elif compression == 0 and bpp == 24:  # raw DIB, bottom-up BGR
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        if sz0 < row_bytes * h:
+            raise MediaDecodeError("AVI DIB frame truncated")
+        rows = np.frombuffer(b, np.uint8, count=row_bytes * h,
+                             offset=off0).reshape(h, row_bytes)
+        px = rows[::-1, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+    else:
+        raise MediaDecodeError("unsupported AVI codec %r/%08x"
+                               % (handler, compression))
+    usec = avih[0] if avih else 0
+    return {"width": w, "height": h, "frames": len(frames),
+            "bpp": 24, "duration": round(len(frames) * usec / 1e6, 6),
+            "pixels": np.ascontiguousarray(px)}
+
+
+# MPEG-1 Layer III bitrate table (kbps, index 1..14) and sample rates
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _decode_mp3(b: bytes) -> dict:
+    """Real frame-header walk of an MPEG-1 Layer III stream: ID3v2 skip
+    (synchsafe size), per-frame sync/bitrate/samplerate validation,
+    spec frame sizing (144*bitrate/rate + padding), true frame count,
+    channel mode, and sample-exact duration (1152 samples per frame,
+    reported in integer microseconds — cross-engine stable). The PCM
+    itself stays undecoded (a real codec stack is absent in this
+    container) — this is the metadata surface a corpus pipeline
+    actually gates on: duration, bitrate, rate, channel stats."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        i = 10 + sz
+    n = len(b)
+    frames = 0
+    rate = None
+    bitrate = None
+    channels = None
+    while i + 4 <= n:
+        (h1, h2, h3) = (b[i + 1], b[i + 2], b[i + 3])
+        if not (b[i] == 0xFF and (h1 & 0xE0) == 0xE0):
+            raise MediaDecodeError("MP3 sync lost at %d" % i)
+        if (h1 >> 3) & 3 != 3 or (h1 >> 1) & 3 != 1:
+            raise MediaDecodeError("MPEG-1 Layer III only")
+        br_idx = (h2 >> 4) & 15
+        sr_idx = (h2 >> 2) & 3
+        pad = (h2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise MediaDecodeError("free-form/reserved bitrate or rate")
+        br = _MP3_BITRATES[br_idx] * 1000
+        sr = _MP3_RATES[sr_idx]
+        ch = 1 if (h3 >> 6) & 3 == 3 else 2
+        if rate is None:
+            (rate, bitrate, channels) = (sr, br, ch)
+        elif sr != rate:
+            raise MediaDecodeError("mid-stream sample-rate change")
+        frames += 1
+        if frames > _AVI_MAX_CHUNKS:
+            raise MediaDecodeError("MP3 frame-count bomb")
+        i += 144 * br // sr + pad
+    if frames == 0 or i != n:
+        raise MediaDecodeError("MP3 stream empty or trailing garbage")
+    duration_us = frames * 1152 * 1_000_000 // rate
+    return {"width": 0, "height": 0, "frames": frames,
+            "sample_rate": rate, "channels": channels,
+            "bitrate_kbps": bitrate // 1000, "byte_len": n,
+            "duration_us": duration_us,
+            "duration": round(duration_us / 1e6, 6)}
+
+
 def decode_media(payload: bytes, kind: str) -> dict:
     """Magic-byte-sniffing decode: real BMP/WAV/PNG/baseline-JPEG parse
     when the payload is one, deterministic fake otherwise. All results
@@ -229,6 +386,17 @@ def decode_media(payload: bytes, kind: str) -> dict:
         try:
             return _decode_wav(payload)
         except MediaDecodeError:
+            return _fake_decode(payload, kind)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        try:
+            return _decode_avi(payload)
+        except (MediaDecodeError, IndexError, struct.error):
+            return _fake_decode(payload, kind)
+    if payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF
+                                 and payload[1] & 0xE0 == 0xE0):
+        try:
+            return _decode_mp3(payload)
+        except (MediaDecodeError, IndexError):
             return _fake_decode(payload, kind)
     if payload[:8] == PNG_SIG:
         try:
@@ -756,6 +924,141 @@ def media_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tiff_decode_batches, schema=_PNG_DECODE_SCHEMA)
 
 
+def _avi_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    def chunk(cid, body):
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(subtype, body):
+        return chunk(b"LIST", subtype + body)
+
+    def build_avi(doc_id: int) -> bytes:
+        w = 9 + doc_id % 7
+        h = 6 + (doc_id // 7) % 5
+        n_frames = 1 + doc_id % 4
+        audio_first = doc_id % 3 == 0  # shifts the video stream id
+        xx = np.arange(w)[None, :, None]
+        yy = np.arange(h)[:, None, None]
+        cc = np.arange(3)[None, None, :]
+        avih = struct.pack("<10I", 40000, 0, 0, 0, n_frames, 0,
+                           2 if audio_first else 1, 0, w, h) + bytes(16)
+        strh_v = b"vids" + b"DIB " + bytes(48)
+        strf_v = struct.pack("<IiiHHI", 40, w, h, 1, 24, 0) + bytes(20)
+        strls = lst(b"strl", chunk(b"strh", strh_v)
+                    + chunk(b"strf", strf_v))
+        if audio_first:
+            strh_a = b"auds" + bytes(4) + bytes(48)
+            strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            strls = lst(b"strl", chunk(b"strh", strh_a)
+                        + chunk(b"strf", strf_a)) + strls
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+        sid = b"01" if audio_first else b"00"
+        row_bytes = ((w * 24 + 31) // 32) * 4
+        movi_body = b""
+        for k in range(n_frames):
+            px = ((xx * 5 + yy * 7 + cc * 11 + doc_id + k) % 256) \
+                .astype(np.uint8)
+            bgr = px[..., ::-1]
+            rows = b"".join(bgr[y].tobytes().ljust(row_bytes, b"\x00")
+                            for y in range(h - 1, -1, -1))
+            movi_body += chunk(sid + b"db", rows)
+        inner = b"AVI " + hdrl + lst(b"movi", movi_body)
+        return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            meta = decode_media(build_avi(int(doc_id)), "video")
+            px = meta.get("pixels")
+            rows.append((int(doc_id), meta["width"], meta["height"],
+                         meta.get("bpp", -1), meta["frames"],
+                         int(px.sum()) if px is not None else -1))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "bpp", "frames", "pixel_sum"])
+
+
+def media_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL AVI container decode under the driver's oracle
+    gate: per document, build a raw-DIB AVI executor-side (doc_id-sized
+    frames with 4-byte row padding in play, 1-4 frames, an audio stream
+    BEFORE the video one on doc_id%3==0 so stream-id classification is
+    inside the gate), decode through ``decode_media`` (RIFF sniff ->
+    ``_decode_avi``), and emit container dimensions, the true frame
+    count, and the FIRST frame's pixel byte sum — later frames carry
+    different pixels, so returning the wrong frame is a visible hash
+    mismatch, as is any BGR/bottom-up/padding slip.
+
+    Scale: one map-side stage on the scan partitions; per-row work
+    bounded by the fixed <=15x10x4-frame synthetic clip."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id").mapInPandas(
+        _avi_decode_batches, schema=_PNG_DECODE_SCHEMA)
+
+
+_MP3_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frames", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("duration_us", T.LongType()),
+])
+
+
+def _mp3_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_mp3(doc_id: int) -> bytes:
+        br_idx = 1 + doc_id % 14
+        sr_idx = doc_id % 3
+        n_frames = 8 + doc_id % 7
+        mono = doc_id % 2 == 1
+        br = _MP3_BITRATES[br_idx] * 1000
+        sr = _MP3_RATES[sr_idx]
+        out = bytearray()
+        if doc_id % 5 == 0:  # ID3v2 tag, synchsafe size 64
+            out += b"ID3" + bytes((4, 0, 0, 0, 0, 0, 64)) + bytes(64)
+        for f in range(n_frames):
+            pad = (f + doc_id) % 2
+            out += bytes((0xFF, 0xFB,
+                          (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                          0xC0 if mono else 0x00))
+            out += bytes(144 * br // sr + pad - 4)
+        return bytes(out)
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            m = decode_media(build_mp3(int(doc_id)), "audio")
+            rows.append((int(doc_id), m["frames"],
+                         m.get("sample_rate", -1), m.get("channels", -1),
+                         m.get("bitrate_kbps", -1), m.get("byte_len", -1),
+                         m.get("duration_us", -1)))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "frames", "sample_rate", "channels",
+            "bitrate_kbps", "byte_len", "duration_us"])
+
+
+def media_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL MP3 frame-header metadata under the driver's
+    oracle gate: per document, build a valid MPEG-1 Layer III stream
+    executor-side (doc_id-selected bitrate index, sample rate, channel
+    mode, per-frame padding bits, ID3v2 tag on doc_id%5==0), walk it
+    with ``_decode_mp3``, and emit frame count, rate, channels,
+    bitrate, total byte length, and integer-microsecond duration. The
+    DuckDB oracle recomputes every field from the closed form — byte_len
+    in particular re-derives the spec frame sizing (144*bitrate/rate +
+    padding) and the padding-bit count, so any sizing slip desyncs the
+    walk and surfaces as a mismatch, never a silent pass.
+
+    Scale: one map-side stage on the scan partitions; per-row work
+    bounded by the <=14-frame synthetic stream."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id").mapInPandas(
+        _mp3_meta_batches, schema=_MP3_META_SCHEMA)
+
+
 def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL GIF decode under the driver's oracle gate — the
     media_decode_png pattern for the LSB-first LZW path: per document,
@@ -858,6 +1161,56 @@ ORACLES["media_decode_tiff"] = """
     FROM px
 """
 
+ORACLES["media_decode_avi"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             (9 + doc_id % 7)::INT AS width,
+             (6 + (doc_id // 7) % 5)::INT AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             SUM((x * 5 + y * 7 + c * 11 + doc_id) % 256) AS pixel_sum
+      FROM dims,
+           (SELECT UNNEST(RANGE(0, 16)) AS x),
+           (SELECT UNNEST(RANGE(0, 11)) AS y),
+           (SELECT UNNEST(RANGE(0, 3)) AS c)
+      WHERE x < width AND y < height
+      GROUP BY doc_id, width, height
+    )
+    SELECT doc_id, width, height, 24::INT AS bpp,
+           (1 + doc_id % 4)::INT AS frames,
+           pixel_sum::BIGINT AS pixel_sum
+    FROM px
+"""
+
+ORACLES["media_mp3_meta"] = """
+    WITH br AS (
+      SELECT * FROM (VALUES (1, 32), (2, 40), (3, 48), (4, 56), (5, 64),
+                            (6, 80), (7, 96), (8, 112), (9, 128),
+                            (10, 160), (11, 192), (12, 224), (13, 256),
+                            (14, 320)) t(idx, kbps)
+    ), sr AS (
+      SELECT * FROM (VALUES (0, 44100), (1, 48000), (2, 32000)) t(idx, hz)
+    ), base AS (
+      SELECT d.doc_id,
+             (8 + d.doc_id % 7)::INT AS frames,
+             sr.hz AS rate, br.kbps AS kbps,
+             CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 2 END AS channels,
+             CASE WHEN d.doc_id % 5 = 0 THEN 74 ELSE 0 END AS id3_len
+      FROM documents d
+      JOIN br ON br.idx = 1 + d.doc_id % 14
+      JOIN sr ON sr.idx = d.doc_id % 3
+    )
+    SELECT doc_id, frames, rate::INT AS sample_rate,
+           channels::INT AS channels, kbps::INT AS bitrate_kbps,
+           (id3_len + frames * ((144 * kbps * 1000) // rate)
+            + CASE WHEN doc_id % 2 = 0 THEN frames // 2
+                   ELSE (frames + 1) // 2 END)::BIGINT AS byte_len,
+           ((frames::BIGINT * 1152 * 1000000) // rate)::BIGINT
+             AS duration_us
+    FROM base
+"""
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
@@ -866,4 +1219,6 @@ QUERIES = {
     "media_decode_png": media_decode_png,
     "media_decode_gif": media_decode_gif,
     "media_decode_tiff": media_decode_tiff,
+    "media_decode_avi": media_decode_avi,
+    "media_mp3_meta": media_mp3_meta,
 }

@@ -183,3 +183,194 @@ def test_spark_features_over_real_payloads(spark, tmp_path):
     want = _hist_counts(m["pixels"].tobytes())
     want = (want / want.sum()).round(6)
     assert np.allclose(out[0]["feature"], want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# AVI container / MP3 frame-header metadata
+# ---------------------------------------------------------------------------
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _lst(subtype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", subtype + body)
+
+
+def make_avi(frames_rgb, usec_per_frame=40000, extra_audio_stream=False):
+    """Handcrafted AVI: hdrl(avih + strl(strh vids/DIB + strf BIH)) +
+    movi with one raw-DIB '00db' chunk per frame (bottom-up BGR, 4-byte
+    row padding)."""
+    import struct
+
+    h, w = frames_rgb[0].shape[:2]
+    avih = struct.pack("<10I", usec_per_frame, 0, 0, 0, len(frames_rgb),
+                       0, 2 if extra_audio_stream else 1, 0, w, h) + bytes(16)
+    strh_v = b"vids" + b"DIB " + bytes(48)
+    strf_v = struct.pack("<IiiHHI", 40, w, h, 1, 24, 0) + bytes(20)
+    strl_v = _lst(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+    strls = strl_v
+    if extra_audio_stream:
+        # an audio stream BEFORE the video one shifts the video stream id
+        strh_a = b"auds" + bytes(4) + bytes(48)
+        strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = _lst(b"strl", _chunk(b"strh", strh_a)
+                     + _chunk(b"strf", strf_a)) + strl_v
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + strls)
+    sid = b"01" if extra_audio_stream else b"00"
+    row_bytes = ((w * 24 + 31) // 32) * 4
+    movi_body = b""
+    for fr in frames_rgb:
+        bgr = fr[..., ::-1]
+        rows = b"".join(bgr[y].tobytes().ljust(row_bytes, b"\x00")
+                        for y in range(h - 1, -1, -1))
+        movi_body += _chunk(sid + b"db", rows)
+    movi = _lst(b"movi", movi_body)
+    inner = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+
+def test_avi_raw_dib_frames_exact():
+    from pdfminer_spark.ops.multimodal import _decode_avi
+
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+              for _ in range(3)]
+    d = _decode_avi(make_avi(frames))
+    assert (d["width"], d["height"], d["frames"]) == (9, 7, 3)
+    assert d["duration"] == 0.12  # 3 frames at 25 fps
+    assert np.array_equal(d["pixels"], frames[0])
+    # an earlier audio stream shifts the video stream id to 01
+    d = _decode_avi(make_avi(frames, extra_audio_stream=True))
+    assert d["frames"] == 3
+    assert np.array_equal(d["pixels"], frames[0])
+
+
+def test_avi_mjpg_first_frame_via_jpeg_decoder(spark):
+    """Container + codec composition: an MJPG AVI whose frames are
+    javax.imageio-encoded JPEGs must decode its first frame exactly like
+    the (differentially-tested) JPEG decoder does standalone."""
+    import struct
+
+    from pdfminer_spark.ops.imagedec import decode_jpeg
+    from pdfminer_spark.ops.multimodal import _decode_avi
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack([(xx * 9) % 256, (yy * 11) % 256,
+                    ((xx + yy) * 5) % 256], -1).astype(np.uint8)
+    bi = BI(24, 16, BI.TYPE_INT_RGB)
+    for y in range(16):
+        for x in range(24):
+            r, g, b2 = (int(img[y, x, 0]), int(img[y, x, 1]),
+                        int(img[y, x, 2]))
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b2)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    jpg = bytes(baos.toByteArray())
+
+    avih = struct.pack("<10I", 33333, 0, 0, 0, 2, 0, 1, 0, 24, 16) + bytes(16)
+    strh = b"vids" + b"MJPG" + bytes(48)
+    strf = struct.pack("<IiiHHI", 40, 24, 16, 1, 24, 0x47504A4D) + bytes(20)
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih)
+                + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi = _lst(b"movi", _chunk(b"00dc", jpg) + _chunk(b"00dc", jpg))
+    inner = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(inner)) + inner
+    d = _decode_avi(avi)
+    assert (d["width"], d["height"], d["frames"]) == (24, 16, 2)
+    assert np.array_equal(d["pixels"], decode_jpeg(jpg)["pixels"])
+
+
+def test_avi_hostile_bounded():
+    import struct
+
+    from pdfminer_spark.ops.multimodal import (MediaDecodeError,
+                                               _decode_avi, decode_media)
+
+    rng = np.random.default_rng(32)
+    frames = [rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)]
+    good = make_avi(frames)
+    # child chunk overrunning its parent LIST raises
+    buf = bytearray(good)
+    pos = good.index(b"00db")
+    struct.pack_into("<I", buf, pos + 4, 1 << 30)
+    with pytest.raises(MediaDecodeError, match="overruns"):
+        _decode_avi(bytes(buf))
+    # dimension bomb in strf
+    buf = bytearray(good)
+    pos = good.index(b"strf") + 8
+    struct.pack_into("<ii", buf, pos + 4, 1 << 20, 1 << 20)
+    with pytest.raises(MediaDecodeError, match="dimensions"):
+        _decode_avi(bytes(buf))
+    # truncated DIB frame
+    with pytest.raises(MediaDecodeError):
+        _decode_avi(good[:len(good) - 20])
+    # decode_media falls back to the fake, never raises
+    d = decode_media(bytes(buf), "video")
+    assert isinstance(d, dict) and d["frames"] >= 1
+    # mutation fuzz never escapes
+    for _ in range(200):
+        buf = bytearray(good)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        d = decode_media(bytes(buf), "video")
+        assert isinstance(d, dict) and "frames" in d
+
+
+def make_mp3(n_frames, br_idx=9, sr_idx=0, mono=False, id3=b"",
+             pad_fn=None):
+    """Handcrafted MPEG-1 Layer III stream: valid frame headers with
+    spec frame sizing, zero-filled payloads."""
+    out = bytearray()
+    if id3:
+        sz = len(id3)
+        out += b"ID3" + bytes((4, 0, 0)) + bytes((
+            (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+            (sz >> 7) & 0x7F, sz & 0x7F)) + id3
+    from pdfminer_spark.ops.multimodal import _MP3_BITRATES, _MP3_RATES
+    br = _MP3_BITRATES[br_idx] * 1000
+    sr = _MP3_RATES[sr_idx]
+    for f in range(n_frames):
+        pad = pad_fn(f) if pad_fn else 0
+        hdr = bytes((0xFF, 0xFB,
+                     (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                     0xC0 if mono else 0x00))
+        out += hdr + bytes(144 * br // sr + pad - 4)
+    return bytes(out)
+
+
+def test_mp3_frame_walk_exact():
+    from pdfminer_spark.ops.multimodal import _decode_mp3
+
+    d = _decode_mp3(make_mp3(38, br_idx=9, sr_idx=0))  # 128kbps/44100
+    assert (d["frames"], d["sample_rate"], d["channels"]) == (38, 44100, 2)
+    assert d["bitrate_kbps"] == 128
+    assert d["duration_us"] == 38 * 1152 * 1_000_000 // 44100
+    # padding bits change frame sizes but not the walk
+    d = _decode_mp3(make_mp3(10, br_idx=1, sr_idx=2, mono=True,
+                             pad_fn=lambda f: f % 2))
+    assert (d["frames"], d["sample_rate"], d["channels"]) == (10, 32000, 1)
+    assert d["bitrate_kbps"] == 32
+    # ID3v2 tag skipped via synchsafe size
+    d = _decode_mp3(make_mp3(5, id3=b"\x00" * 300))
+    assert d["frames"] == 5
+
+
+def test_mp3_hostile_and_fallback():
+    from pdfminer_spark.ops.multimodal import (MediaDecodeError,
+                                               _decode_mp3, decode_media)
+
+    good = make_mp3(6)
+    with pytest.raises(MediaDecodeError):  # trailing garbage
+        _decode_mp3(good + b"\xde\xad\xbe\xef\x00")
+    with pytest.raises(MediaDecodeError):  # free-form bitrate index 0
+        _decode_mp3(bytes((0xFF, 0xFB, 0x00, 0x00)) + bytes(100))
+    with pytest.raises(MediaDecodeError):  # ID3 only, zero frames
+        _decode_mp3(make_mp3(0, id3=b"\x00" * 8))
+    d = decode_media(good + b"x", "audio")  # falls back to fake
+    assert isinstance(d, dict) and "frames" in d
+    d = decode_media(good, "audio")  # real path through the sniffer
+    assert d["frames"] == 6

@@ -135,6 +135,15 @@ AUDITS = [
      "the doc_id-only scan, zero exchanges — the TIFF build (strips, "
      "both byte orders, LZW/PackBits/predictor) + real decode is "
      "per-row independent."),
+    ("media_decode_avi",
+     "same contract as media_decode_png: ONE map-side MapInPandas on "
+     "the doc_id-only scan, zero exchanges — the AVI container build "
+     "(hdrl/strl/movi, stream-id classification) + first-frame DIB "
+     "decode is per-row independent."),
+    ("media_mp3_meta",
+     "same contract as media_decode_png: ONE map-side MapInPandas on "
+     "the doc_id-only scan, zero exchanges — the MP3 frame-header walk "
+     "is per-row independent."),
     ("pagerank",
      "ZERO parquet re-scans across the 5 power iterations: edges and "
      "nodes enter as Scan ExistingRDD leaves (one eager localCheckpoint "
