@@ -774,6 +774,100 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("global_start div %d" % _SHARD_BYTES)))
 
 
+_DECOMP_CAP = 1 << 24  # 16 MiB recovered bytes per payload
+
+
+class PayloadError(ValueError):
+    """Malformed, unknown-magic, truncated, or bomb compressed payload."""
+
+
+def decompress_payload(b: bytes, cap: int = _DECOMP_CAP) -> tuple[str, bytes]:
+    """Sniff + bounded-decompress one compressed payload cell: gzip
+    (RFC 1952), raw zlib (RFC 1950, header-checksum sniff), bzip2, and
+    xz — the containers web-crawl corpora actually arrive in, all on
+    stdlib codecs. Returns ``(format, recovered_bytes)``.
+
+    Hostile-input bounds: decompression goes through the streaming
+    decompressor objects with ``max_length`` so a decompression bomb
+    (a few KB expanding to GBs) raises at the cap without ever
+    allocating past it; truncated streams (no EOF marker) raise rather
+    than return partial data."""
+    import bz2
+    import lzma
+    import zlib
+
+    if b[:2] == b"\x1f\x8b":
+        (fmt, d) = ("gzip", zlib.decompressobj(wbits=16 + zlib.MAX_WBITS))
+    elif b[:3] == b"BZh" and b[3:4].isdigit():
+        (fmt, d) = ("bz2", bz2.BZ2Decompressor())
+    elif b[:6] == b"\xfd7zXZ\x00":
+        (fmt, d) = ("xz", lzma.LZMADecompressor(format=lzma.FORMAT_XZ))
+    elif (len(b) >= 2 and b[0] == 0x78
+          and ((b[0] << 8) | b[1]) % 31 == 0):
+        (fmt, d) = ("zlib", zlib.decompressobj())
+    else:
+        raise PayloadError("unknown compression magic")
+    try:
+        out = d.decompress(b, cap + 1)
+    except (zlib.error, OSError, lzma.LZMAError, EOFError, ValueError) as e:
+        raise PayloadError("corrupt %s stream: %s" % (fmt, e))
+    if len(out) > cap:
+        raise PayloadError("%s payload exceeds %d-byte cap" % (fmt, cap))
+    if not d.eof:
+        raise PayloadError("truncated %s stream" % fmt)
+    return (fmt, out)
+
+
+def payload_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded payload decompression under the driver's oracle gate:
+    per document, compress the text executor-side with a
+    doc_id-selected codec (gzip / raw zlib / bzip2 / xz), then sniff +
+    decompress it back through ``decompress_payload`` and emit the
+    detected format, recovered length, and an md5 of the recovered
+    bytes. The oracle recomputes format/length/md5 from the original
+    text alone — a wrong sniff, a partial decompress, or any cap slip
+    is a visible hash mismatch.
+
+    Scale: one map-side stage on the scan partitions (spread to the
+    session parallelism — the per-row bz2/lzma work is CPU-heavy);
+    per-payload memory is bounded by the 16 MiB cap regardless of what
+    the compressed bytes claim."""
+    import pandas as pd
+
+    schema = ("doc_id long, fmt string, orig_len int, text_md5 string")
+
+    def batches(it):
+        import bz2
+        import hashlib
+        import lzma
+        import zlib
+
+        for pdf in it:
+            rows = []
+            for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                k = int(doc_id) % 4
+                if k == 0:
+                    c = zlib.compressobj(6, zlib.DEFLATED,
+                                         16 + zlib.MAX_WBITS)
+                    payload = c.compress(raw) + c.flush()
+                elif k == 1:
+                    payload = zlib.compress(raw, 6)
+                elif k == 2:
+                    payload = bz2.compress(raw, 1)
+                else:
+                    payload = lzma.compress(raw, format=lzma.FORMAT_XZ)
+                (fmt, out) = decompress_payload(payload)
+                rows.append((int(doc_id), fmt, len(out),
+                             hashlib.md5(out).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "fmt", "orig_len", "text_md5"])
+
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(batches, schema=schema))
+
+
 ORACLES: dict[str, str] = {
     "shard_assign": """
         WITH b AS (
@@ -1173,8 +1267,18 @@ ORACLES["dedup_url"] = f"""
     FROM canon
 """
 
+ORACLES["payload_decompress"] = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                           WHEN 2 THEN 'bz2' ELSE 'xz' END AS fmt,
+           STRLEN(text)::INT AS orig_len,
+           MD5(text) AS text_md5
+    FROM documents
+"""
+
 QUERIES = {
     "pii_scrub": pii_scrub,
+    "payload_decompress": payload_decompress,
     "url_canonicalize": url_canonicalize,
     "dedup_url": dedup_url,
     "shard_assign": shard_assign,

@@ -380,3 +380,39 @@ def test_dedup_url_keeps_one_per_canonical_group(spark):
         min_ids[k] = min(min_ids.get(k, r["doc_id"]), r["doc_id"])
     for k, ids in kept.items():
         assert ids == [min_ids[k]], k  # ...and it is the min doc_id
+
+
+def test_decompress_payload_roundtrip_and_bounds():
+    import bz2
+    import lzma
+    import zlib
+
+    import pytest
+
+    from pdfminer_spark.ops.datasetops import (PayloadError,
+                                               decompress_payload)
+
+    raw = b"the quick brown fox " * 500
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    cases = [("gzip", c.compress(raw) + c.flush()),
+             ("zlib", zlib.compress(raw, 6)),
+             ("bz2", bz2.compress(raw, 1)),
+             ("xz", lzma.compress(raw, format=lzma.FORMAT_XZ))]
+    for (want_fmt, payload) in cases:
+        (fmt, out) = decompress_payload(payload)
+        assert (fmt, out) == (want_fmt, raw)
+        # truncated stream raises (no partial data returned)
+        with pytest.raises(PayloadError):
+            decompress_payload(payload[:len(payload) // 2])
+    # unknown magic raises
+    with pytest.raises(PayloadError, match="magic"):
+        decompress_payload(b"\x00\x01\x02\x03")
+    # decompression bomb: ~64 KB of zlib expanding to 64 MiB must raise
+    # at the cap without allocating the full output
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+    assert len(bomb) < 100_000
+    with pytest.raises(PayloadError, match="cap"):
+        decompress_payload(bomb, cap=1 << 20)
+    # corrupt-but-sniffable gzip raises PayloadError, not zlib.error
+    with pytest.raises(PayloadError, match="corrupt|truncated"):
+        decompress_payload(b"\x1f\x8b" + b"\xff" * 40)
