@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
                                     multimodal, pdfcorpus, ranking,
                                     relational, similarity, sketches,
-                                    temporal, textops)
+                                    temporal, textops, webingest)
 
     q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q_all.update(curationops.QUERIES)
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all.update(datasetops.QUERIES)
     q_all.update(ranking.QUERIES)
     q_all.update(pdfcorpus.QUERIES)
+    q_all.update(webingest.QUERIES)
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
@@ -125,7 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 late additions: brand-new ops need their first driver rows
         "bigram_perplexity", "char_entropy", "dedup_url",
         "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
-        "payload_decompress",
+        "payload_decompress", "warc_records", "warc_extract",
         # r4-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
@@ -158,7 +159,7 @@ def oracle_sql() -> dict[str, str]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
                                     multimodal, pdfcorpus, ranking,
                                     relational, similarity, sketches,
-                                    temporal, textops)
+                                    temporal, textops, webingest)
 
     o: dict[str, str] = {}
     o.update(curationops.ORACLES)
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(datasetops.ORACLES)
     o.update(ranking.ORACLES)
     o.update(pdfcorpus.ORACLES)
+    o.update(webingest.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)
     o["extract_conversations"] = """

@@ -1,0 +1,224 @@
+"""WARC ingestion operators: the container format web-scale corpora
+(Common Crawl and every crawler since Heritrix) actually arrive in.
+
+Two layers, both pure stdlib:
+
+* ``parse_warc`` — WARC/1.0 record framing per ISO 28500: version
+  line, CRLF header block, ``Content-Length``-framed block, CRLF CRLF
+  record separator. The framing is load-bearing: a reader that does
+  not honor Content-Length desyncs on any block containing
+  ``WARC/``-looking bytes. Hostile-input bounds: record-count cap,
+  truncation and separator checks that raise instead of resyncing.
+* ``parse_http_response`` — status line + CRLF headers + body split of
+  a ``response`` record's block.
+
+Registered queries put the chain under the driver's oracle gate:
+``warc_records`` checks framing + digests against a closed form;
+``warc_extract`` runs the FULL ingestion path — WARC -> HTTP -> the
+real DOM-density boilerplate stripper (``html/boilerplate.py``) — and
+must recover each document's exact main text (the extract_documents
+wrap/strip round-trip, one container level deeper).
+
+Scale: both queries are one map-side stage on the scan partitions
+(per-row independent work, no exchange). At 100 TB the same
+``mapInPandas`` body runs over binary WARC cells read straight from
+the lake; per-record memory is bounded by the declared Content-Length
+checked against the cell size before slicing.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .textops import _docs
+
+_MAX_WARC_RECORDS = 1 << 20  # hostile-input ceiling per payload cell
+
+
+class WarcError(ValueError):
+    """Malformed WARC framing or HTTP block."""
+
+
+def parse_warc(data: bytes,
+               max_records: int = _MAX_WARC_RECORDS) -> list[dict]:
+    """Parse a WARC/1.0 byte stream into records, strictly framed."""
+    recs: list[dict] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        eol = data.find(b"\r\n", i)
+        if eol < 0 or not data[i:eol].startswith(b"WARC/"):
+            raise WarcError("bad WARC version line at %d" % i)
+        he = data.find(b"\r\n\r\n", eol)
+        if he < 0:
+            raise WarcError("unterminated WARC header block")
+        headers: dict[str, str] = {}
+        for line in data[eol + 2:he].split(b"\r\n"):
+            (k, sep, v) = line.partition(b":")
+            if not sep:
+                raise WarcError("malformed WARC header line %r" % line)
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcError("missing/bad WARC Content-Length")
+        if clen < 0 or he + 4 + clen > n:
+            raise WarcError("WARC block truncated")
+        recs.append({"type": headers.get("warc-type", ""),
+                     "uri": headers.get("warc-target-uri", ""),
+                     "headers": headers,
+                     "block": data[he + 4:he + 4 + clen]})
+        i = he + 4 + clen
+        if data[i:i + 4] != b"\r\n\r\n":
+            raise WarcError("missing WARC record separator")
+        i += 4
+        if len(recs) > max_records:
+            raise WarcError("WARC record-count bomb")
+    if not recs:
+        raise WarcError("empty WARC")
+    return recs
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict, bytes]:
+    """Split a response record's block: (status, headers, body)."""
+    he = block.find(b"\r\n\r\n")
+    if he < 0:
+        raise WarcError("unterminated HTTP header block")
+    lines = block[:he].split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WarcError("bad HTTP status line %r" % lines[0])
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise WarcError("bad HTTP status code %r" % parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        (k, sep, v) = line.partition(b":")
+        if not sep:
+            raise WarcError("malformed HTTP header line %r" % line)
+        headers[k.strip().lower().decode("latin-1")] = \
+            v.strip().decode("latin-1")
+    return (status, headers, block[he + 4:])
+
+
+# chrome wrap for the synthetic response bodies — double-quoted attrs so
+# the DuckDB oracle can embed the same literals in single-quoted SQL;
+# same nav/article/footer shape the extract_documents oracle proves
+# strips back to the bare text
+_PRE = ('<html><body><nav><a href="/">Home</a> <a href="/a">A</a> '
+        '<a href="/b">B</a></nav><article><p>')
+_POST = ('</p></article><footer><a href="/tos">terms</a> copyright'
+         '</footer></body></html>')
+
+
+def _build_warc(doc_id: int, text: str) -> bytes:
+    """Synthetic three-record WARC (warcinfo, request, response) whose
+    response body is the chrome-wrapped document text."""
+    uri = "https://example.org/doc/%d" % doc_id
+    body = (_PRE + text + _POST).encode("utf-8")
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+
+    def rec(rtype: str, extra: str, block: bytes) -> bytes:
+        hdr = ("WARC/1.0\r\nWARC-Type: %s\r\n%sContent-Length: %d"
+               "\r\n\r\n" % (rtype, extra, len(block))).encode()
+        return hdr + block + b"\r\n\r\n"
+
+    return (rec("warcinfo", "", b"software: synthetic\r\n")
+            + rec("request", "WARC-Target-URI: %s\r\n" % uri,
+                  b"GET /doc HTTP/1.1\r\nHost: example.org\r\n\r\n")
+            + rec("response", "WARC-Target-URI: %s\r\n" % uri, http))
+
+
+def _records_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in it:
+        rows = []
+        for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+            recs = parse_warc(_build_warc(int(doc_id), text))
+            resp = [r for r in recs if r["type"] == "response"][0]
+            (status, _h, body) = parse_http_response(resp["block"])
+            rows.append((int(doc_id), len(recs), resp["uri"], status,
+                         len(body),
+                         hashlib.sha256(body).hexdigest()))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "n_records", "uri", "status", "body_len",
+            "body_sha256"])
+
+
+def warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC framing under the driver's oracle gate: per document, build
+    a three-record WARC executor-side, parse it back with the strict
+    reader, and emit record count, target URI, HTTP status, body
+    length, and the body's sha256. The oracle recomputes everything
+    from the closed form (URI from doc_id, body = chrome wrap of the
+    text) — any framing slip (Content-Length off by one, separator
+    desync, header case) is a visible mismatch."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(_records_batches,
+                         schema=("doc_id long, n_records int, uri string,"
+                                 " status int, body_len int,"
+                                 " body_sha256 string")))
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdfminer_spark.html.boilerplate import extract_main_text
+
+    for pdf in it:
+        rows = []
+        for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+            recs = parse_warc(_build_warc(int(doc_id), text))
+            resp = [r for r in recs if r["type"] == "response"][0]
+            (status, _h, body) = parse_http_response(resp["block"])
+            main = extract_main_text(body.decode("utf-8"))
+            rows.append((int(doc_id), resp["uri"], status, main))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "uri", "status", "main_text"])
+
+
+def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-ingestion chain under one oracle row: WARC framing
+    -> HTTP response split -> the real DOM-density boilerplate stripper
+    -> main text. The oracle expects each document's EXACT original
+    text back — nav/footer chrome must be stripped, the article body
+    must survive verbatim, so this row pins the stripper's behavior on
+    the canonical wrap at every SF, one container level deeper than
+    extract_documents."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(_extract_batches,
+                         schema=("doc_id long, uri string, status int,"
+                                 " main_text string")))
+
+
+ORACLES: dict[str, str] = {
+    "warc_records": """
+        SELECT doc_id, 3::INT AS n_records,
+               'https://example.org/doc/' || doc_id::VARCHAR AS uri,
+               200::INT AS status,
+               STRLEN('%(pre)s' || text || '%(post)s')::INT AS body_len,
+               SHA256('%(pre)s' || text || '%(post)s') AS body_sha256
+        FROM documents
+    """ % {"pre": _PRE.replace("'", "''"),
+           "post": _POST.replace("'", "''")},
+    "warc_extract": """
+        SELECT doc_id,
+               'https://example.org/doc/' || doc_id::VARCHAR AS uri,
+               200::INT AS status,
+               text AS main_text
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "warc_records": warc_records,
+    "warc_extract": warc_extract,
+}

@@ -1,0 +1,69 @@
+"""WARC framing + HTTP split correctness (ops/webingest.py): strict
+Content-Length framing (never resync-by-scanning), hostile truncation /
+separator / header cases, and the chained boilerplate round-trip."""
+import pytest
+
+from pdfminer_spark.ops.webingest import (WarcError, _build_warc,
+                                          parse_http_response, parse_warc)
+
+
+def test_warc_three_record_roundtrip():
+    w = _build_warc(7, "hello world document body text here")
+    recs = parse_warc(w)
+    assert [r["type"] for r in recs] == ["warcinfo", "request", "response"]
+    assert recs[2]["uri"] == "https://example.org/doc/7"
+    (status, headers, body) = parse_http_response(recs[2]["block"])
+    assert status == 200
+    assert headers["content-type"].startswith("text/html")
+    assert b"hello world document body text here" in body
+
+
+def test_warc_content_length_framing_is_strict():
+    # a block CONTAINING WARC/-looking bytes must not desync the reader
+    trap = "decoy WARC/1.0\r\nWARC-Type: fake\r\n\r\n payload"
+    w = _build_warc(1, trap)
+    recs = parse_warc(w)
+    assert len(recs) == 3
+    (_, _, body) = parse_http_response(recs[2]["block"])
+    assert trap.encode() in body
+    # off-by-one Content-Length desyncs the separator check -> raises
+    bad = w.replace(b"WARC-Type: warcinfo\r\nContent-Length: 21",
+                    b"WARC-Type: warcinfo\r\nContent-Length: 20")
+    with pytest.raises(WarcError):
+        parse_warc(bad)
+
+
+def test_warc_hostile_cases():
+    w = _build_warc(2, "some text")
+    with pytest.raises(WarcError, match="truncated|separator"):
+        parse_warc(w[:len(w) - 6])
+    with pytest.raises(WarcError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(WarcError, match="empty"):
+        parse_warc(b"")
+    with pytest.raises(WarcError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(WarcError, match="header"):
+        parse_warc(b"WARC/1.0\r\nno colon here\r\n"
+                   b"Content-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_http_response_hostile_cases():
+    with pytest.raises(WarcError, match="status line"):
+        parse_http_response(b"GET / HTTP/1.1\r\n\r\n")
+    with pytest.raises(WarcError, match="status code"):
+        parse_http_response(b"HTTP/1.1 abc OK\r\n\r\n")
+    with pytest.raises(WarcError, match="unterminated"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nX: 1")
+
+
+def test_warc_extract_round_trips_main_text():
+    from pdfminer_spark.html.boilerplate import extract_main_text
+    from pdfminer_spark.ops.webingest import _POST, _PRE
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    w = _build_warc(3, text)
+    recs = parse_warc(w)
+    (_, _, body) = parse_http_response(recs[2]["block"])
+    assert body.decode() == _PRE + text + _POST
+    assert extract_main_text(body.decode()) == text

@@ -144,6 +144,16 @@ AUDITS = [
      "same contract as media_decode_png: ONE map-side MapInPandas on "
      "the doc_id-only scan, zero exchanges — the MP3 frame-header walk "
      "is per-row independent."),
+    ("payload_decompress",
+     "ONE map-side MapInPandas stage (after the single small-file "
+     "spread repartition): compress/sniff/decompress is per-row "
+     "independent; per-payload memory bounded by the 16 MiB cap "
+     "regardless of declared expansion."),
+    ("warc_extract",
+     "ONE map-side MapInPandas stage (after the small-file spread): "
+     "WARC framing -> HTTP split -> boilerplate strip is per-row "
+     "independent; no exchange anywhere — at 100 TB this runs "
+     "directly on the lake's WARC cells."),
     ("pagerank",
      "ZERO parquet re-scans across the 5 power iterations: edges and "
      "nodes enter as Scan ExistingRDD leaves (one eager localCheckpoint "
