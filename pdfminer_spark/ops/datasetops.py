@@ -1267,6 +1267,70 @@ ORACLES["dedup_url"] = f"""
     FROM canon
 """
 
+def repair_mojibake(s: str, max_rounds: int = 4) -> tuple[str, int]:
+    """Undo UTF-8-read-as-latin-1 mojibake ('é' shown as 'Ã©'),
+    iteratively for double-encoded text: while the string survives a
+    latin-1 encode and decodes as STRICTLY valid UTF-8 to something
+    different, peel one layer. Pure-ASCII and already-clean text pass
+    through untouched in 0 rounds; the round cap bounds adversarial
+    inputs. Returns ``(repaired, rounds_peeled)``."""
+    rounds = 0
+    while rounds < max_rounds:
+        try:
+            b = s.encode("latin-1")
+            d = b.decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if d == s:
+            break
+        s = d
+        rounds += 1
+    return (s, rounds)
+
+
+def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair under the driver's oracle gate: per document,
+    plant a non-ASCII char (every 'e' becomes U+00E9), corrupt it
+    executor-side with one or two rounds of UTF-8-read-as-latin-1
+    (doc_id parity), then repair with ``repair_mojibake`` and emit the
+    recovered text plus the peel count. The oracle recomputes the
+    planted form directly (REPLACE + CHR(233)) and the expected round
+    count from doc_id — an under- or over-peel is a visible mismatch.
+
+    Scale: one map-side stage on the scan partitions (spread to the
+    session parallelism); per-row work is linear in the text."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+                planted = text.replace("e", "é")
+                corrupted = planted
+                n_corrupt = 1 + int(doc_id) % 2
+                for _ in range(n_corrupt):
+                    corrupted = corrupted.encode("utf-8") \
+                        .decode("latin-1")
+                (repaired, rounds) = repair_mojibake(corrupted)
+                rows.append((int(doc_id), rounds, repaired))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "rounds", "text_repaired"])
+
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(batches,
+                         schema="doc_id long, rounds int, "
+                                "text_repaired string"))
+
+
+ORACLES["encoding_repair"] = """
+    SELECT doc_id,
+           (CASE WHEN text LIKE '%e%' THEN 1 + doc_id % 2
+                 ELSE 0 END)::INT AS rounds,
+           REPLACE(text, 'e', CHR(233)) AS text_repaired
+    FROM documents
+"""
+
 ORACLES["payload_decompress"] = """
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
@@ -1279,6 +1343,7 @@ ORACLES["payload_decompress"] = """
 QUERIES = {
     "pii_scrub": pii_scrub,
     "payload_decompress": payload_decompress,
+    "encoding_repair": encoding_repair,
     "url_canonicalize": url_canonicalize,
     "dedup_url": dedup_url,
     "shard_assign": shard_assign,

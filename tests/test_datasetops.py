@@ -416,3 +416,24 @@ def test_decompress_payload_roundtrip_and_bounds():
     # corrupt-but-sniffable gzip raises PayloadError, not zlib.error
     with pytest.raises(PayloadError, match="corrupt|truncated"):
         decompress_payload(b"\x1f\x8b" + b"\xff" * 40)
+
+
+def test_repair_mojibake_rounds_and_bounds():
+    from pdfminer_spark.ops.datasetops import repair_mojibake
+
+    clean = "café résumé naïve"
+    once = clean.encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    assert repair_mojibake(clean) == (clean, 0)
+    assert repair_mojibake(once) == (clean, 1)
+    assert repair_mojibake(twice) == (clean, 2)
+    # pure ASCII is untouched
+    assert repair_mojibake("plain ascii text") == ("plain ascii text", 0)
+    # non-latin-1-encodable text (already proper unicode) passes through
+    assert repair_mojibake("中文 text") == ("中文 text", 0)
+    # round cap bounds adversarial self-similar inputs
+    deep = clean
+    for _ in range(9):
+        deep = deep.encode("utf-8").decode("latin-1")
+    (out, rounds) = repair_mojibake(deep, max_rounds=4)
+    assert rounds == 4 and out != clean
