@@ -199,7 +199,142 @@ def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  " main_text string")))
 
 
+_MAX_ROBOTS_RULES = 10_000  # hostile-input ceiling per robots.txt
+
+
+def parse_robots(txt: str,
+                 max_rules: int = _MAX_ROBOTS_RULES) -> dict[str, list]:
+    """Parse robots.txt into {user-agent: [(kind, rule), ...]} per
+    RFC 9309: consecutive ``User-agent`` lines form one group header
+    (their rules apply to every listed agent), directive names are
+    case-insensitive, ``#`` starts a comment, empty rule values are
+    ignored, and rule count is capped per agent."""
+    groups: dict[str, list] = {}
+    current: list[str] = []
+    last_was_ua = False
+    for line in txt.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        (k, sep, v) = line.partition(":")
+        if not sep:
+            continue
+        (k, v) = (k.strip().lower(), v.strip())
+        if k == "user-agent":
+            if not last_was_ua:
+                current = []
+            current.append(v.lower())
+            groups.setdefault(v.lower(), [])
+            last_was_ua = True
+        elif k in ("allow", "disallow"):
+            last_was_ua = False
+            for ua in current:
+                g = groups.setdefault(ua, [])
+                if v and len(g) < max_rules:
+                    g.append((k, v))
+        else:
+            last_was_ua = False
+    return groups
+
+
+def _robots_rule_matches(rule: str, path: str) -> bool:
+    """RFC 9309 path matching: ``*`` matches any run of octets, a
+    trailing ``$`` anchors at the end, everything else is literal
+    prefix match."""
+    import re
+
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pat = re.escape(body).replace(r"\*", ".*")
+    return re.match(pat + ("$" if anchored else ""), path) is not None
+
+
+def robots_allowed(groups: dict[str, list], user_agent: str,
+                   path: str) -> bool:
+    """RFC 9309 decision: use the matching agent's group (exact product
+    token, falling back to ``*``; groups are NOT merged), pick the
+    longest matching rule (octet length), Allow wins length ties; no
+    matching rule means allowed."""
+    rules = groups.get(user_agent.lower())
+    if rules is None:
+        rules = groups.get("*", [])
+    best: tuple[int, str] | None = None
+    for (kind, rule) in rules:
+        if _robots_rule_matches(rule, path):
+            spec = len(rule)
+            if (best is None or spec > best[0]
+                    or (spec == best[0] and kind == "allow")):
+                best = (spec, kind)
+    return best is None or best[1] == "allow"
+
+
+def _robots_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    paths = ("/public/doc", "/private/doc", "/private/ok/doc",
+             "/doc.pdf", "/doc.pdfx")
+
+    def build_robots(doc_id: int) -> str:
+        txt = ("# synthetic crawl policy\n"
+               "User-agent: *\n"
+               "Disallow: /private/\n"
+               "Allow: /private/ok/\n")
+        if doc_id % 2 == 1:
+            txt += "Disallow: /*.pdf$\n"
+        if doc_id % 3 == 0:
+            txt += ("\nUser-agent: trainingbot\n"
+                    "Disallow: /public/\n")
+        return txt
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            groups = parse_robots(build_robots(did))
+            path = paths[did % 5]
+            rows.append((did, path,
+                         int(robots_allowed(groups, "TrainingBot", path))))
+        yield pd.DataFrame(rows, columns=["doc_id", "path", "allowed"])
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance filtering under the driver's oracle gate: per
+    document, synthesize a robots.txt (wildcard + end-anchor rule on
+    odd doc_ids, a bot-specific group on doc_id%3==0) and a URL path
+    from closed forms, parse with the RFC 9309 parser, and emit the
+    allow/deny decision for our user agent. The oracle enumerates the
+    expected decision table — group selection (specific group REPLACES
+    ``*``, never merges), longest-match precedence, Allow tie-break,
+    and the ``$`` anchor are all load-bearing in it.
+
+    Scale: one map-side stage on the scan partitions; in a real crawl
+    the parsed per-domain rule groups are a broadcast table keyed by
+    registered domain, probed map-side exactly like this."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id")
+            .mapInPandas(_robots_batches,
+                         schema="doc_id long, path string, allowed int"))
+
+
 ORACLES: dict[str, str] = {
+    "robots_filter": """
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN '/public/doc'
+                 WHEN 1 THEN '/private/doc'
+                 WHEN 2 THEN '/private/ok/doc'
+                 WHEN 3 THEN '/doc.pdf'
+                 ELSE '/doc.pdfx' END AS path,
+               (CASE
+                  -- bot-specific group replaces *: only /public/ denied
+                  WHEN doc_id % 3 = 0 THEN
+                    CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
+                  -- * group: Disallow /private/, Allow /private/ok/
+                  -- (longest match wins), plus Disallow /*.pdf$ on odd
+                  WHEN doc_id % 5 = 1 THEN 0
+                  WHEN doc_id % 5 = 3 AND doc_id % 2 = 1 THEN 0
+                  ELSE 1
+                END)::INT AS allowed
+        FROM documents
+    """,
     "warc_records": """
         SELECT doc_id, 3::INT AS n_records,
                'https://example.org/doc/' || doc_id::VARCHAR AS uri,
@@ -221,4 +356,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "warc_records": warc_records,
     "warc_extract": warc_extract,
+    "robots_filter": robots_filter,
 }

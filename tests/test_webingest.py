@@ -67,3 +67,53 @@ def test_warc_extract_round_trips_main_text():
     (_, _, body) = parse_http_response(recs[2]["block"])
     assert body.decode() == _PRE + text + _POST
     assert extract_main_text(body.decode()) == text
+
+
+def test_robots_parser_and_matching():
+    from pdfminer_spark.ops.webingest import parse_robots, robots_allowed
+
+    txt = """
+# policy
+User-agent: alphabot
+User-agent: betabot
+Disallow: /shared/
+
+User-Agent: *
+disallow: /private/
+ALLOW: /private/ok/
+Disallow: /*.pdf$
+Disallow:
+"""
+    g = parse_robots(txt)
+    # consecutive UA lines share one rule group
+    assert g["alphabot"] == g["betabot"] == [("disallow", "/shared/")]
+    # directive names case-insensitive; empty rule value dropped
+    assert len(g["*"]) == 3
+    # longest match wins: Allow /private/ok/ beats Disallow /private/
+    assert not robots_allowed(g, "SomeBot", "/private/x")
+    assert robots_allowed(g, "somebot", "/private/ok/x")
+    # wildcard + end anchor
+    assert not robots_allowed(g, "x", "/deep/path/file.pdf")
+    assert robots_allowed(g, "x", "/deep/path/file.pdfx")
+    # specific group REPLACES *, never merges
+    assert robots_allowed(g, "alphabot", "/private/x")
+    assert not robots_allowed(g, "alphabot", "/shared/x")
+    # no group at all -> allowed
+    assert robots_allowed({}, "x", "/anything")
+    # precedence is rule octet length (wildcards count): /a*/ (4) beats /a/ (3)
+    tie = parse_robots("User-agent: *\nDisallow: /a/\nAllow: /a*/\n")
+    assert robots_allowed(tie, "x", "/a/f")
+    # equal length: the longer-literal disallow /ab (3) beats allow /a* (3)?
+    # no — Allow wins exact length ties per RFC 9309
+    tie2 = parse_robots("User-agent: *\nDisallow: /ab\nAllow: /a*\n")
+    assert robots_allowed(tie2, "x", "/ab")
+    tie3 = parse_robots("User-agent: *\nDisallow: /ab\nAllow: /ab\n")
+    assert robots_allowed(tie3, "x", "/abc")
+
+
+def test_robots_rule_cap_bounds_hostile_input():
+    from pdfminer_spark.ops.webingest import parse_robots
+
+    bomb = "User-agent: *\n" + "Disallow: /x\n" * 50_000
+    g = parse_robots(bomb)
+    assert len(g["*"]) == 10_000
