@@ -127,7 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity", "char_entropy", "dedup_url",
         "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
         "payload_decompress", "warc_records", "warc_extract",
-        "encoding_repair", "robots_filter",
+        "encoding_repair", "robots_filter", "html_metadata",
         # r4-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",

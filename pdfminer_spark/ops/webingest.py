@@ -314,7 +314,74 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                          schema="doc_id long, path string, allowed int"))
 
 
+def _metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdfminer_spark.html.metadata import extract_metadata
+
+    def build_html(doc_id: int, text: str) -> str:
+        head = ["<head>"]
+        k = doc_id % 3
+        if k == 1:
+            # messy whitespace exercises the normalizer
+            head.append("<title>  Doc \n  %d  </title>" % doc_id)
+        if k == 0:
+            head.append('<meta property="og:title" content="OG Doc %d">'
+                        % doc_id)
+        if doc_id % 2 == 0:
+            head.append('<meta name="description" content="Desc %d">'
+                        % doc_id)
+        else:
+            head.append('<meta property="og:description" '
+                        'content="OGD %d">' % doc_id)
+        head.append('<link rel="canonical" '
+                    'href="https://example.org/c/%d">' % doc_id)
+        head.append("</head>")
+        lang = ' lang="en"' if doc_id % 4 != 0 else ""
+        h1 = "<h1>Heading %d</h1>" % doc_id if k == 2 else ""
+        return ("<html%s>%s<body>%s<p>%s</p></body></html>"
+                % (lang, "".join(head), h1, text))
+
+    for pdf in it:
+        rows = []
+        for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+            m = extract_metadata(build_html(int(doc_id), text))
+            rows.append((int(doc_id), m["title"], m["description"],
+                         m["canonical"], m["lang"]))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "title", "description", "canonical", "lang"])
+
+
+def html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-level HTML metadata under the driver's oracle gate: per
+    document, build an HTML page whose metadata presence varies by
+    doc_id (no <title> on doc_id%3 in {0,2} — forcing the og:title
+    resp. first-<h1> fallbacks; meta description vs og:description by
+    parity; lang attribute absent on doc_id%4==0), extract with
+    ``html/metadata.py``, emit the four fields. The oracle enumerates
+    the fallback chains and the whitespace normalization in CASE form.
+
+    Scale: one map-side stage on the scan partitions."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(_metadata_batches,
+                         schema=("doc_id long, title string, "
+                                 "description string, canonical string, "
+                                 "lang string")))
+
+
 ORACLES: dict[str, str] = {
+    "html_metadata": """
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 1 THEN 'Doc ' || doc_id::VARCHAR
+                 WHEN 0 THEN 'OG Doc ' || doc_id::VARCHAR
+                 ELSE 'Heading ' || doc_id::VARCHAR END AS title,
+               CASE WHEN doc_id % 2 = 0
+                 THEN 'Desc ' || doc_id::VARCHAR
+                 ELSE 'OGD ' || doc_id::VARCHAR END AS description,
+               'https://example.org/c/' || doc_id::VARCHAR AS canonical,
+               CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'en' END AS lang
+        FROM documents
+    """,
     "robots_filter": """
         SELECT doc_id,
                CASE doc_id % 5
@@ -357,4 +424,5 @@ QUERIES = {
     "warc_records": warc_records,
     "warc_extract": warc_extract,
     "robots_filter": robots_filter,
+    "html_metadata": html_metadata,
 }

@@ -50,7 +50,7 @@ def test_queries_lead_with_stale_driver_row_ops():
         "bigram_perplexity", "char_entropy", "dedup_url",
         "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
         "payload_decompress", "warc_records", "warc_extract",
-        "encoding_repair", "robots_filter",
+        "encoding_repair", "robots_filter", "html_metadata",
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
         "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",

@@ -117,3 +117,34 @@ def test_robots_rule_cap_bounds_hostile_input():
     bomb = "User-agent: *\n" + "Disallow: /x\n" * 50_000
     g = parse_robots(bomb)
     assert len(g["*"]) == 10_000
+
+
+def test_html_metadata_fallbacks_and_normalization():
+    from pdfminer_spark.html.metadata import extract_metadata
+
+    m = extract_metadata(
+        '<html lang="EN-us"><head><title>  A \n Title </title>'
+        '<meta property="og:title" content="ignored">'
+        '<meta name="description" content=" d1 ">'
+        '<link rel="canonical stylesheet" href="https://x/c">'
+        '</head><body><h1>H</h1></body></html>')
+    assert m == {"title": "A Title", "description": "d1",
+                 "canonical": "https://x/c", "lang": "en-us"}
+    # og:title fallback, og:description fallback
+    m = extract_metadata(
+        '<html><head><meta property="og:title" content="OT">'
+        '<meta property="og:description" content="OD"></head>'
+        '<body></body></html>')
+    assert (m["title"], m["description"]) == ("OT", "OD")
+    # h1 fallback uses only the FIRST h1
+    m = extract_metadata("<body><h1>first</h1><h1>second</h1></body>")
+    assert m["title"] == "first"
+    # first meta of a name wins; missing fields come back empty
+    m = extract_metadata(
+        '<head><meta name="description" content="a">'
+        '<meta name="description" content="b"></head>')
+    assert m == {"title": "", "description": "a", "canonical": "",
+                 "lang": ""}
+    # malformed markup degrades, never raises
+    m = extract_metadata("<title>t</ti" + "\x00" * 10 + "<<<>")
+    assert isinstance(m, dict)
