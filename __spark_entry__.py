@@ -123,33 +123,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_lsh_pairs sig_mat kwarg, and the extraction family behind the
     # interp/layout/pipeline truncation-flag change).
     priority = [
-        # r7 late additions: brand-new ops need their first driver rows
+        # r7 late additions: brand-new ops need their FIRST driver rows
+        # (media_decode_png/gif registered earlier this round, also
+        # never sampled) — all within the 50-query sample window
         "bigram_perplexity", "char_entropy", "dedup_url",
         "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
         "payload_decompress", "warc_records", "warc_extract",
         "encoding_repair", "robots_filter", "html_metadata",
+        "media_decode_png", "media_decode_gif",
         # r4-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
         "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",
         "embedding_clusters",
-        # r5-stale
+        # r5-stale (holdout_split/turn_role_stats yield their sample
+        # slots to the never-sampled decode ops; they rotate in next
+        # round under the standing rule)
         "dedup_minhash_buckets", "dedup_minhash_pairs", "pii_scrub",
         "contamination_check", "stratified_sample", "pack_chunks",
         "normalize_text", "pack_sequences", "temperature_sample",
-        "decontaminate_spans", "conversation_pack", "holdout_split",
-        "turn_role_stats",
+        "decontaminate_spans", "conversation_pack",
         # r7 source-changed
         "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
         "cooccurrence_lift",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
-        # r7 late: decode_media gained real PNG/JPEG dispatch and
-        # media_decode_png is brand new — the whole multimodal family
-        # needs fresh driver rows
-        "media_decode_png", "media_decode_gif", "media_features",
+        # entry 50: decode_media gained TIFF/AVI/MP3 dispatch this round
+        "media_features",
+        # past the 50-sample window (r6 rows, source-risk lowest):
         "media_metadata", "media_resize", "media_frame_sample",
+        "holdout_split", "turn_role_stats",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)

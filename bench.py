@@ -101,7 +101,7 @@ def run_headline_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
         "media_features", "layout_boxes", "extract_documents",
         "asof_join", "sessionize", "tfidf_keywords", "normalize_text",
         "embedding_quantize", "curate_pdf_corpus", "substring_dup_pairs",
-        "pagerank", "bm25_scores",
+        "pagerank", "bm25_scores", "warc_extract",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
