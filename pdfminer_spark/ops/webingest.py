@@ -314,6 +314,100 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                          schema="doc_id long, path string, allowed int"))
 
 
+_MAX_SITEMAP_URLS = 50_000  # the sitemaps.org per-file limit
+
+
+def parse_sitemap(xml_text: str,
+                  max_urls: int = _MAX_SITEMAP_URLS) -> dict:
+    """Parse a sitemaps.org XML document — both ``<urlset>`` (leaf
+    sitemap: url/loc + optional lastmod/priority) and ``<sitemapindex>``
+    (index of child sitemaps). Namespace-agnostic on the local names so
+    the 0.9 namespace, unnamespaced test files, and vendor prefixes all
+    parse. Hostile-input bounds: any DOCTYPE is rejected before the XML
+    parser sees it (entity-expansion bombs), entry count is capped at
+    the spec's own 50k per-file limit."""
+    import xml.etree.ElementTree as ET
+
+    if "<!DOCTYPE" in xml_text[:1024].upper():
+        raise WarcError("sitemap with DOCTYPE rejected")
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise WarcError("malformed sitemap XML: %s" % e)
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise WarcError("not a sitemap root: %r" % root.tag)
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    entries = []
+    for el in root:
+        if local(el.tag) != child_tag:
+            continue
+        fields = {local(c.tag): (c.text or "").strip() for c in el}
+        if not fields.get("loc"):
+            raise WarcError("sitemap entry without <loc>")
+        entries.append({"loc": fields["loc"],
+                        "lastmod": fields.get("lastmod", ""),
+                        "priority": fields.get("priority", "")})
+        if len(entries) > max_urls:
+            raise WarcError("sitemap exceeds the 50k entry limit")
+    return {"kind": kind, "entries": entries}
+
+
+_SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def _sitemap_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_sitemap(doc_id: int) -> str:
+        if doc_id % 4 == 0:  # index of child sitemaps
+            body = "".join(
+                "<sitemap><loc>https://example.org/sm/%d/%d.xml</loc>"
+                "</sitemap>" % (doc_id, k) for k in range(2))
+            return ('<?xml version="1.0" encoding="UTF-8"?>'
+                    '<sitemapindex xmlns="%s">%s</sitemapindex>'
+                    % (_SITEMAP_NS, body))
+        n = 1 + doc_id % 3
+        body = "".join(
+            "<url><loc>https://example.org/p/%d/%d</loc>"
+            "<lastmod>2026-01-0%d</lastmod><priority>0.%d</priority>"
+            "</url>" % (doc_id, k, 1 + k, 5 + k) for k in range(n))
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="%s">%s</urlset>' % (_SITEMAP_NS, body))
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            sm = parse_sitemap(build_sitemap(did))
+            first = sm["entries"][0]
+            rows.append((did, sm["kind"], len(sm["entries"]),
+                         first["loc"], first["lastmod"]))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "kind", "n_entries", "first_loc", "first_lastmod"])
+
+
+def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap crawl-frontier parsing under the driver's oracle gate:
+    per document, synthesize a namespaced sitemaps.org file (a
+    sitemapindex on doc_id%4==0, else a urlset with 1-3 url entries
+    carrying lastmod/priority), parse with ``parse_sitemap``, and emit
+    kind, entry count, and the first entry's loc/lastmod. The oracle
+    enumerates the closed forms.
+
+    Scale: one map-side stage on the scan partitions; real crawls fan
+    the per-domain sitemap fetches out the same way and explode the
+    entry lists afterward."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id")
+            .mapInPandas(_sitemap_batches,
+                         schema=("doc_id long, kind string, "
+                                 "n_entries int, first_loc string, "
+                                 "first_lastmod string")))
+
+
 def _metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pdfminer_spark.html.metadata import extract_metadata
 
@@ -369,6 +463,21 @@ def html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "sitemap_urls": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex'
+                    ELSE 'urlset' END AS kind,
+               (CASE WHEN doc_id % 4 = 0 THEN 2
+                     ELSE 1 + doc_id % 3 END)::INT AS n_entries,
+               CASE WHEN doc_id % 4 = 0
+                 THEN 'https://example.org/sm/' || doc_id::VARCHAR
+                      || '/0.xml'
+                 ELSE 'https://example.org/p/' || doc_id::VARCHAR || '/0'
+                 END AS first_loc,
+               CASE WHEN doc_id % 4 = 0 THEN ''
+                    ELSE '2026-01-01' END AS first_lastmod
+        FROM documents
+    """,
     "html_metadata": """
         SELECT doc_id,
                CASE doc_id % 3
@@ -425,4 +534,5 @@ QUERIES = {
     "warc_extract": warc_extract,
     "robots_filter": robots_filter,
     "html_metadata": html_metadata,
+    "sitemap_urls": sitemap_urls,
 }

@@ -148,3 +148,65 @@ def test_html_metadata_fallbacks_and_normalization():
     # malformed markup degrades, never raises
     m = extract_metadata("<title>t</ti" + "\x00" * 10 + "<<<>")
     assert isinstance(m, dict)
+
+
+def test_warc_mutation_fuzz_never_escapes():
+    import time as _t
+
+    import numpy as np
+
+    from pdfminer_spark.ops.webingest import (WarcError, _build_warc,
+                                              parse_http_response,
+                                              parse_warc)
+
+    rng = np.random.default_rng(41)
+    base = _build_warc(9, "some words " * 30)
+    t0 = _t.time()
+    for _ in range(400):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        try:
+            recs = parse_warc(bytes(buf))
+            for r in recs:
+                if r["type"] == "response":
+                    try:
+                        parse_http_response(r["block"])
+                    except WarcError:
+                        pass
+        except (WarcError, ValueError):
+            pass
+    assert _t.time() - t0 < 20.0
+
+
+def test_sitemap_parsing_and_bounds():
+    from pdfminer_spark.ops.webingest import (WarcError, _SITEMAP_NS,
+                                              parse_sitemap)
+
+    sm = parse_sitemap(
+        '<urlset xmlns="%s"><url><loc> https://x/1 </loc>'
+        '<lastmod>2026-02-03</lastmod><priority>0.8</priority></url>'
+        '<url><loc>https://x/2</loc></url></urlset>' % _SITEMAP_NS)
+    assert sm["kind"] == "urlset" and len(sm["entries"]) == 2
+    assert sm["entries"][0] == {"loc": "https://x/1",
+                                "lastmod": "2026-02-03",
+                                "priority": "0.8"}
+    assert sm["entries"][1]["lastmod"] == ""
+    # sitemapindex + unnamespaced both parse
+    sm = parse_sitemap("<sitemapindex><sitemap><loc>https://x/a.xml"
+                       "</loc></sitemap></sitemapindex>")
+    assert sm["kind"] == "sitemapindex" and len(sm["entries"]) == 1
+    # DOCTYPE (entity bomb vector) rejected before parsing
+    with pytest.raises(WarcError, match="DOCTYPE"):
+        parse_sitemap('<!DOCTYPE lol [<!ENTITY a "b">]>'
+                      '<urlset><url><loc>x</loc></url></urlset>')
+    # entry cap, missing loc, wrong root, malformed XML all raise
+    with pytest.raises(WarcError, match="50k"):
+        parse_sitemap("<urlset>" + "<url><loc>u</loc></url>" * 11
+                      + "</urlset>", max_urls=10)
+    with pytest.raises(WarcError, match="loc"):
+        parse_sitemap("<urlset><url><lastmod>x</lastmod></url></urlset>")
+    with pytest.raises(WarcError, match="root"):
+        parse_sitemap("<rss></rss>")
+    with pytest.raises(WarcError, match="malformed"):
+        parse_sitemap("<urlset><url>")
