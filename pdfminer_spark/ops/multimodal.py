@@ -1161,6 +1161,131 @@ ORACLES["media_decode_tiff"] = """
     FROM px
 """
 
+def dhash_bits(pixels: np.ndarray, grid_w: int = 8,
+               grid_h: int = 8) -> str:
+    """Difference hash of a decoded HxWxC image: integer BT.601 luma
+    ((299R+587G+114B)//1000), block-mean downsample onto a
+    (grid_w+1) x grid_h grid (pixel -> cell by x*(grid_w+1)//W — every
+    pixel lands in exactly one cell, integer mean), then one bit per
+    horizontally adjacent cell pair (left > right), row-major. Returned
+    as a '0'/'1' string so cross-engine comparison never touches
+    float/bigint-sign territory. Near-duplicate images agree on most
+    bits; exact resizes/re-encodes agree on all.
+
+    Requires width >= grid_w+1 and height >= grid_h — below that the
+    block grid has empty cells and no resize-free hash is defined (real
+    pipelines interpolate; a sub-grid thumbnail carries no signal)."""
+    (h, w) = pixels.shape[:2]
+    if w < grid_w + 1 or h < grid_h:
+        raise ValueError("image %dx%d smaller than the %dx%d dhash grid"
+                         % (w, h, grid_w + 1, grid_h))
+    px = pixels if pixels.ndim == 3 else pixels[..., None]
+    if px.shape[2] >= 3:
+        gray = (px[..., 0].astype(np.int64) * 299
+                + px[..., 1].astype(np.int64) * 587
+                + px[..., 2].astype(np.int64) * 114) // 1000
+    else:
+        gray = px[..., 0].astype(np.int64)
+    gw = grid_w + 1
+    cx = (np.arange(w) * gw) // w
+    cy = (np.arange(h) * grid_h) // h
+    sums = np.zeros((grid_h, gw), np.int64)
+    counts = np.zeros((grid_h, gw), np.int64)
+    np.add.at(sums, (cy[:, None], cx[None, :]), gray)
+    np.add.at(counts, (cy[:, None], cx[None, :]), 1)
+    means = sums // np.maximum(counts, 1)
+    bits = (means[:, :-1] > means[:, 1:]).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits.reshape(-1))
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+    import zlib
+
+    def build_png(doc_id: int) -> bytes:
+        # media_decode_png's closed form, shifted to w>=9 so every
+        # dhash grid cell is populated (see dhash_bits' size contract)
+        w = 9 + doc_id % 15
+        h = 8 + (doc_id // 16) % 8
+        xx = np.arange(w)[None, :, None]
+        yy = np.arange(h)[:, None, None]
+        cc = np.arange(3)[None, None, :]
+        px = ((xx * 3 + yy * 5 + cc * 7 + doc_id) % 256).astype(np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(t, body):
+            return (struct.pack(">I", len(body)) + t + body
+                    + struct.pack(">I", zlib.crc32(t + body)))
+
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            meta = decode_media(build_png(int(doc_id)), "image")
+            rows.append((int(doc_id), meta["width"], meta["height"],
+                         dhash_bits(meta["pixels"])))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "dhash_bits"])
+
+
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level perceptual fingerprinting under the driver's oracle
+    gate: per document, build the closed-form RGB PNG, run it through
+    the REAL decode path (``decode_media`` -> decode_png), and emit the
+    64-bit difference hash as a bit string. The DuckDB oracle
+    recomputes luma, the block-mean downsample, and the adjacent-cell
+    comparison from the pixel closed form alone — so this row gates the
+    full decode->grayscale->resize->hash chain bit-for-bit. Hash-equal
+    groups are the image analogue of dedup_exact; hamming-near pairs
+    bucket exactly like simhash (same banded join applies).
+
+    Scale: one map-side stage on the scan partitions; the downstream
+    dedup is a groupBy on an 8-byte key."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id").mapInPandas(
+        _dhash_batches,
+        schema="doc_id long, width int, height int, dhash_bits string")
+
+
+ORACLES["image_dhash"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             (9 + doc_id % 15)::INT AS w,
+             (8 + (doc_id // 16) % 8)::INT AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, x, y,
+             (((x * 3 + y * 5 + doc_id) % 256) * 299
+              + ((x * 3 + y * 5 + 7 + doc_id) % 256) * 587
+              + ((x * 3 + y * 5 + 14 + doc_id) % 256) * 114) // 1000
+               AS gray
+      FROM dims,
+           (SELECT UNNEST(RANGE(0, 24)) AS x),
+           (SELECT UNNEST(RANGE(0, 16)) AS y)
+      WHERE x < w AND y < h
+    ), cells AS (
+      SELECT doc_id, (x * 9) // w AS cx, (y * 8) // h AS cy,
+             SUM(gray) // COUNT(*) AS m
+      FROM px GROUP BY doc_id, (x * 9) // w, (y * 8) // h
+    ), bits AS (
+      SELECT a.doc_id, a.cy, a.cx,
+             CASE WHEN a.m > b.m THEN '1' ELSE '0' END AS bit
+      FROM cells a
+      JOIN cells b ON a.doc_id = b.doc_id AND a.cy = b.cy
+                  AND b.cx = a.cx + 1
+    ), agg AS (
+      SELECT doc_id, STRING_AGG(bit, '' ORDER BY cy, cx) AS dhash_bits
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.w AS width, d.h AS height, agg.dhash_bits
+    FROM dims d JOIN agg USING (doc_id)
+"""
+
 ORACLES["media_decode_avi"] = """
     WITH dims AS (
       SELECT doc_id,
@@ -1221,4 +1346,5 @@ QUERIES = {
     "media_decode_tiff": media_decode_tiff,
     "media_decode_avi": media_decode_avi,
     "media_mp3_meta": media_mp3_meta,
+    "image_dhash": image_dhash,
 }

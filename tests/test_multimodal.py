@@ -374,3 +374,27 @@ def test_mp3_hostile_and_fallback():
     assert isinstance(d, dict) and "frames" in d
     d = decode_media(good, "audio")  # real path through the sniffer
     assert d["frames"] == 6
+
+
+def test_dhash_invariance_and_sensitivity():
+    from pdfminer_spark.ops.multimodal import dhash_bits
+
+    rng = np.random.default_rng(51)
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([(xx * 5) % 256, (yy * 3) % 256,
+                    ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    h = dhash_bits(img)
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    # exact 2x nearest upsample preserves the block structure -> equal
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert dhash_bits(up) == h
+    # small noise moves few bits; unrelated image moves many
+    noisy = np.clip(img.astype(int) + rng.integers(-6, 7, img.shape),
+                    0, 255).astype(np.uint8)
+    d_noise = sum(a != b for (a, b) in zip(dhash_bits(noisy), h))
+    other = rng.integers(0, 256, img.shape, dtype=np.uint8)
+    d_other = sum(a != b for (a, b) in zip(dhash_bits(other), h))
+    assert d_noise <= 8 < d_other
+    # grayscale input (single channel) accepted
+    g = dhash_bits(img[..., :1])
+    assert len(g) == 64
