@@ -30,7 +30,15 @@ _CHROME_TAGS = {"nav", "header", "footer", "aside"}
 _CHROME_HINT = re.compile(
     r"(?:^|[-_ ])(nav|menu|footer|header|sidebar|breadcrumb|banner|advert|"
     r"ads?|cookie|social|share|comment|consent|gdpr|cmp|modal|popup|overlay|"
-    r"paywall|newsletter|signup|subscribe|promo|disqus)s?(?:$|[-_ ])", re.I)
+    r"paywall|newsletter|signup|subscribe|promo|disqus|"
+    # commerce / engagement chrome (r7 tranche 3): purchase UI, related-
+    # content rails, and pagination carry no tag-level signal and pass
+    # the density rules ("$49.99 In stock. Ships tomorrow." is 5 words,
+    # 0 links). 'reviews'/'ratings' stay PLURAL-ONLY — a film-review
+    # article legitimately classes its own body 'review' (singular).
+    r"buy|cart|checkout|purchase|related|recommendation|recommended|"
+    r"recommend|carousel|trending|pager|pagination|reviews|ratings"
+    r")s?(?:$|[-_ ])", re.I)
 
 _WS = re.compile(r"\s+")
 _ALNUM = re.compile(r"[A-Za-z0-9]")

@@ -125,6 +125,41 @@ _REALISM = {
                       "fifty thousand home cooks", "uses cookies",
                       "All rights reserved"],
     },
+    # -- round-7 third tranche --------------------------------------------
+    # An e-commerce product page (spec table must chain through the
+    # continuation rule; buy box, related carousel, and user reviews are
+    # chrome), a news article with JSON-LD + a MID-ARTICLE newsletter
+    # CTA + a related-stories rail, and a feed page where other
+    # articles' teasers (low link density!) sit in an aside and
+    # pagination closes the page. Caught before the fix: the buy box
+    # ("$49.99 In stock. Ships tomorrow." — 5 words, 0 links), review
+    # rows, related-rail headings, and pagination carried no tag signal
+    # and passed the density rules; commerce/engagement class tokens
+    # (buy/cart/related/carousel/pagination/reviews...) are now chrome
+    # hints, with reviews/ratings PLURAL-ONLY so a film-review article
+    # classing its own body 'review' keeps its content.
+    "product_page_specs": {
+        "must_keep": ["gallium nitride converter", "Specifications",
+                      "20000 mAh", "65 W shared", "340 grams",
+                      "trickle mode"],
+        "must_drop": ["Add to cart", "In stock", "Customers also viewed",
+                      "chargerfan77", "Helpful", "breadcrumbs",
+                      "All rights reserved"],
+    },
+    "amp_newsfeed_article": {
+        "must_keep": ["ninety one percent of capacity",
+                      "carryover storage targets",
+                      "revised allocation numbers"],
+        "must_drop": ["water desk newsletter", "Join free",
+                      "More from the water desk", "Snowpack hits",
+                      "Subscribe", "schema.org", "position:fixed"],
+    },
+    "feed_teasers_pagination": {
+        "must_keep": ["neglected orchard", "heritage apples",
+                      "young rootstock"],
+        "must_drop": ["creek gauge diaries", "Read more",
+                      "juncos and nuthatches", "Next", "Archive"],
+    },
 }
 
 
@@ -149,3 +184,17 @@ def test_plural_chrome_class_hints():
     out = extract_main_text(html)
     assert "Home" not in out and "tuning" not in out
     assert "body text" in out
+
+
+def test_review_hint_is_plural_only():
+    """A film-review article legitimately classes its own body 'review'
+    (singular) — only 'reviews'/'ratings' (the user-generated section)
+    are chrome hints."""
+    html = ('<body><div class="review"><h1>Review: The Long Orchard</h1>'
+            '<p>The film earns its slow first hour because every quiet '
+            'scene pays off in the final harvest sequence.</p></div>'
+            '<section class="reviews"><p>user99 loved it five stars '
+            '<a href="#v">vote</a></p></section></body>')
+    out = extract_main_text(html)
+    assert "final harvest sequence" in out
+    assert "user99" not in out
