@@ -920,7 +920,14 @@ def media_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side stage on the scan partitions; per-row work
     bounded by the fixed <=18x13 synthetic frame."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id").mapInPandas(
+    # spread the 8-byte doc_id keys to every core BEFORE the
+    # CPU-heavy decode: a single-file test scan is ONE partition
+    # and would run the whole batch single-threaded (measured
+    # 3-5x wall at 50k docs); at lake scale the scan already has
+    # thousands of partitions and AQE coalesces the excess
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         _tiff_decode_batches, schema=_PNG_DECODE_SCHEMA)
 
 
@@ -993,7 +1000,14 @@ def media_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side stage on the scan partitions; per-row work
     bounded by the fixed <=15x10x4-frame synthetic clip."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id").mapInPandas(
+    # spread the 8-byte doc_id keys to every core BEFORE the
+    # CPU-heavy decode: a single-file test scan is ONE partition
+    # and would run the whole batch single-threaded (measured
+    # 3-5x wall at 50k docs); at lake scale the scan already has
+    # thousands of partitions and AQE coalesces the excess
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         _avi_decode_batches, schema=_PNG_DECODE_SCHEMA)
 
 
@@ -1055,7 +1069,14 @@ def media_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side stage on the scan partitions; per-row work
     bounded by the <=14-frame synthetic stream."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id").mapInPandas(
+    # spread the 8-byte doc_id keys to every core BEFORE the
+    # CPU-heavy decode: a single-file test scan is ONE partition
+    # and would run the whole batch single-threaded (measured
+    # 3-5x wall at 50k docs); at lake scale the scan already has
+    # thousands of partitions and AQE coalesces the excess
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         _mp3_meta_batches, schema=_MP3_META_SCHEMA)
 
 
@@ -1072,7 +1093,14 @@ def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side stage on the scan partitions; per-row work
     bounded by the fixed <=20x14 synthetic frame."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id").mapInPandas(
+    # spread the 8-byte doc_id keys to every core BEFORE the
+    # CPU-heavy decode: a single-file test scan is ONE partition
+    # and would run the whole batch single-threaded (measured
+    # 3-5x wall at 50k docs); at lake scale the scan already has
+    # thousands of partitions and AQE coalesces the excess
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         _gif_decode_batches, schema=_PNG_DECODE_SCHEMA)
 
 
@@ -1092,7 +1120,14 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle would move bytes for nothing); per-row work is bounded by
     the fixed <=23x15 synthetic image size."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id").mapInPandas(
+    # spread the 8-byte doc_id keys to every core BEFORE the
+    # CPU-heavy decode: a single-file test scan is ONE partition
+    # and would run the whole batch single-threaded (measured
+    # 3-5x wall at 50k docs); at lake scale the scan already has
+    # thousands of partitions and AQE coalesces the excess
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         _png_decode_batches, schema=_PNG_DECODE_SCHEMA)
 
 
@@ -1247,7 +1282,14 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side stage on the scan partitions; the downstream
     dedup is a groupBy on an 8-byte key."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id").mapInPandas(
+    # spread the 8-byte doc_id keys to every core BEFORE the
+    # CPU-heavy decode: a single-file test scan is ONE partition
+    # and would run the whole batch single-threaded (measured
+    # 3-5x wall at 50k docs); at lake scale the scan already has
+    # thousands of partitions and AQE coalesces the excess
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         _dhash_batches,
         schema="doc_id long, width int, height int, dhash_bits string")
 

@@ -122,28 +122,34 @@ AUDITS = [
      "the bounded (weight -> decile) map — no unpartitioned Window, no "
      "global sort anywhere in the plan."),
     ("media_decode_png",
-     "ONE map-side MapInPandas stage directly on the documents scan "
-     "(doc_id-only ReadSchema — column pruning drops the text payload "
-     "entirely); zero exchanges: the PNG build + real decode is per-row "
-     "independent, so a shuffle would move bytes for nothing."),
+     "doc_id-only ReadSchema (column pruning drops the text payload "
+     "entirely), then ONE RoundRobin exchange of the bare 8-byte keys "
+     "to spread the CPU-heavy decode across every core (a single-file "
+     "test scan is ONE partition; measured 3-15x wall at 50k docs), "
+     "then ONE MapInPandas — per-row independent, nothing else moves."),
     ("media_decode_gif",
-     "same contract as media_decode_png: ONE map-side MapInPandas on "
-     "the doc_id-only scan, zero exchanges — the GIF build + LZW decode "
+     "same contract as media_decode_png: doc_id-only scan, one bare-key "
+     "spread exchange, one MapInPandas — the GIF build + LZW decode "
      "is per-row independent."),
     ("media_decode_tiff",
-     "same contract as media_decode_png: ONE map-side MapInPandas on "
-     "the doc_id-only scan, zero exchanges — the TIFF build (strips, "
+     "same contract as media_decode_png: doc_id-only scan, one bare-key "
+     "spread exchange, one MapInPandas — the TIFF build (strips, "
      "both byte orders, LZW/PackBits/predictor) + real decode is "
      "per-row independent."),
     ("media_decode_avi",
-     "same contract as media_decode_png: ONE map-side MapInPandas on "
-     "the doc_id-only scan, zero exchanges — the AVI container build "
+     "same contract as media_decode_png: doc_id-only scan, one bare-key "
+     "spread exchange, one MapInPandas — the AVI container build "
      "(hdrl/strl/movi, stream-id classification) + first-frame DIB "
      "decode is per-row independent."),
     ("media_mp3_meta",
-     "same contract as media_decode_png: ONE map-side MapInPandas on "
-     "the doc_id-only scan, zero exchanges — the MP3 frame-header walk "
-     "is per-row independent."),
+     "same contract as media_decode_png: doc_id-only scan, one bare-key "
+     "spread exchange, one MapInPandas — the MP3 frame-header walk is "
+     "per-row independent."),
+    ("image_dhash",
+     "same contract as media_decode_png: doc_id-only scan, one bare-key "
+     "spread exchange, one MapInPandas running decode + luma + "
+     "block-mean + bits; the downstream image dedup is a groupBy on "
+     "the 64-bit hash."),
     ("payload_decompress",
      "ONE map-side MapInPandas stage (after the single small-file "
      "spread repartition): compress/sniff/decompress is per-row "
