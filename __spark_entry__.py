@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
         "payload_decompress", "warc_records", "warc_extract",
         "encoding_repair", "robots_filter", "html_metadata",
-        "sitemap_urls", "image_dhash",
+        "sitemap_urls", "image_dhash", "unicode_normalize",
         "media_decode_png", "media_decode_gif",
         # r4-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",

@@ -1323,6 +1323,53 @@ def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "text_repaired string"))
 
 
+def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization under the driver's oracle gate — the
+    canonicalization step that must precede any hash-based dedup (the
+    same text arrives precomposed from one crawl and decomposed from
+    another, and md5 sees different bytes): plant decomposed sequences
+    executor-side (every 'a' becomes 'a' + U+0301 COMBINING ACUTE),
+    normalize with CPython's unicodedata (the Unicode reference data),
+    and emit codepoint counts before/after plus the composed text. The
+    DuckDB oracle replants and runs its OWN NFC implementation
+    (NFC_NORMALIZE) — agreement is two independent implementations of
+    the Unicode composition tables matching codepoint-for-codepoint.
+
+    Scale: one map-side stage on the scan partitions."""
+    import pandas as pd
+
+    def batches(it):
+        import unicodedata
+
+        for pdf in it:
+            rows = []
+            for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+                planted = text.replace("a", "a\u0301")
+                composed = unicodedata.normalize("NFC", planted)
+                rows.append((int(doc_id), len(planted), len(composed),
+                             composed))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_before", "n_after", "text_nfc"])
+
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(batches,
+                         schema="doc_id long, n_before int, "
+                                "n_after int, text_nfc string"))
+
+
+ORACLES["unicode_normalize"] = """
+    WITH planted AS (
+      SELECT doc_id, REPLACE(text, 'a', 'a' || CHR(769)) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(p)::INT AS n_before,
+           LENGTH(NFC_NORMALIZE(p))::INT AS n_after,
+           NFC_NORMALIZE(p) AS text_nfc
+    FROM planted
+"""
+
 ORACLES["encoding_repair"] = """
     SELECT doc_id,
            (CASE WHEN text LIKE '%e%' THEN 1 + doc_id % 2
@@ -1344,6 +1391,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "payload_decompress": payload_decompress,
     "encoding_repair": encoding_repair,
+    "unicode_normalize": unicode_normalize,
     "url_canonicalize": url_canonicalize,
     "dedup_url": dedup_url,
     "shard_assign": shard_assign,

@@ -437,3 +437,27 @@ def test_repair_mojibake_rounds_and_bounds():
         deep = deep.encode("utf-8").decode("latin-1")
     (out, rounds) = repair_mojibake(deep, max_rounds=4)
     assert rounds == 4 and out != clean
+
+
+def test_unicode_normalize_agrees_with_duckdb_nfc():
+    """Two independent NFC implementations (CPython unicodedata vs
+    DuckDB NFC_NORMALIZE) must agree on composition, mark ordering,
+    and Hangul — the cross-engine property the oracle gate relies on."""
+    import duckdb
+    import unicodedata
+
+    con = duckdb.connect()
+    cases = [
+        "á",              # a + combining acute -> U+00E1
+        "ȩ́",        # two marks: canonical reordering
+        "각",   # Hangul jamo -> syllable GAK
+        "éalready",        # precomposed passes through
+        "plain ascii",
+    ]
+    for s in cases:
+        got = con.execute("SELECT NFC_NORMALIZE(?)", [s]).fetchone()[0]
+        assert got == unicodedata.normalize("NFC", s), repr(s)
+        # idempotence
+        assert unicodedata.normalize(
+            "NFC", unicodedata.normalize("NFC", s)) \
+            == unicodedata.normalize("NFC", s)
