@@ -123,37 +123,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_lsh_pairs sig_mat kwarg, and the extraction family behind the
     # interp/layout/pipeline truncation-flag change).
     priority = [
-        # r7 late additions: brand-new ops need their FIRST driver rows
-        # (media_decode_png/gif registered earlier this round, also
-        # never sampled) — all within the 50-query sample window
+        # tier 1 — never driver-sampled (every r7 addition): 22 ops
         "bigram_perplexity", "char_entropy", "dedup_url",
+        "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
+        "cooccurrence_lift", "media_decode_png", "media_decode_gif",
         "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
         "payload_decompress", "warc_records", "warc_extract",
         "encoding_repair", "robots_filter", "html_metadata",
         "sitemap_urls", "image_dhash", "unicode_normalize",
-        "media_decode_png", "media_decode_gif",
-        # r4-stale
+        # tier 2 — source changed this round with older rows: the
+        # extraction family (truncation flag + boilerplate hints), the
+        # media family (decode_media dispatch + bare-key spread), and
+        # the r6-verdict fixes (lm_perplexity cutoffs, dsir, sig_mat)
+        "extract_documents", "extract_conversations", "curate_documents",
+        "layout_boxes", "curate_pdf_corpus",
+        "media_features", "media_metadata", "media_resize",
+        "media_frame_sample",
+        "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
+        # tier 3 — oldest rows: all 11 r4-stale + the first 5 r5-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
         "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",
         "embedding_clusters",
-        # r5-stale (holdout_split/turn_role_stats yield their sample
-        # slots to the never-sampled decode ops; they rotate in next
-        # round under the standing rule)
         "dedup_minhash_buckets", "dedup_minhash_pairs", "pii_scrub",
-        "contamination_check", "stratified_sample", "pack_chunks",
-        "normalize_text", "pack_sequences", "temperature_sample",
-        "decontaminate_spans", "conversation_pack",
-        # r7 source-changed
-        "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
-        "cooccurrence_lift",
-        "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
-        "extract_documents", "extract_conversations", "curate_documents",
-        "layout_boxes", "curate_pdf_corpus",
-        # entry 50: decode_media gained TIFF/AVI/MP3 dispatch this round
-        "media_features",
-        # past the 50-sample window (r6 rows, source-risk lowest):
-        "media_metadata", "media_resize", "media_frame_sample",
+        "contamination_check", "stratified_sample",
+        # past the 50-sample window: remaining r5-row ops, source
+        # unchanged — r8 MUST rotate these into its head (they will be
+        # 3 rounds stale)
+        "pack_chunks", "normalize_text", "pack_sequences",
+        "temperature_sample", "decontaminate_spans", "conversation_pack",
         "holdout_split", "turn_role_stats",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
