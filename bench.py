@@ -102,6 +102,7 @@ def run_headline_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
         "asof_join", "sessionize", "tfidf_keywords", "normalize_text",
         "embedding_quantize", "curate_pdf_corpus", "substring_dup_pairs",
         "pagerank", "bm25_scores", "warc_extract",
+        "payload_decompress", "media_decode_tiff", "image_dhash",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

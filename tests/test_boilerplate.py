@@ -198,3 +198,27 @@ def test_review_hint_is_plural_only():
     out = extract_main_text(html)
     assert "final harvest sequence" in out
     assert "user99" not in out
+
+
+def test_extractor_mutation_fuzz_never_raises():
+    """Corrupted/truncated/shuffled HTML must always come back as a str
+    within bounded time — the stripper and the metadata parser sit in
+    the extraction hot path where one poison page cannot kill a task."""
+    import time as _t
+
+    import numpy as np
+
+    from pdfminer_spark.html.metadata import extract_metadata
+
+    base = open(os.path.join(_HTML_FIX, "product_page_specs.html")).read()
+    rng = np.random.default_rng(61)
+    t0 = _t.time()
+    for _ in range(150):
+        buf = list(base)
+        for _ in range(rng.integers(1, 12)):
+            i = int(rng.integers(0, len(buf)))
+            buf[i] = chr(int(rng.integers(1, 128)))
+        mutated = "".join(buf)[:int(rng.integers(50, len(base)))]
+        assert isinstance(extract_main_text(mutated), str)
+        assert isinstance(extract_metadata(mutated), dict)
+    assert _t.time() - t0 < 20.0
