@@ -96,7 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
                                     multimodal, pdfcorpus, ranking,
                                     relational, similarity, sketches,
-                                    temporal, textops, webingest)
+                                    temporal, textops, trainprep,
+                                    webingest)
 
     q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q_all.update(curationops.QUERIES)
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all.update(ranking.QUERIES)
     q_all.update(pdfcorpus.QUERIES)
     q_all.update(webingest.QUERIES)
+    q_all.update(trainprep.QUERIES)
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
@@ -131,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_decompress", "warc_records", "warc_extract",
         "encoding_repair", "robots_filter", "html_metadata",
         "sitemap_urls", "image_dhash", "unicode_normalize",
+        "fim_transform", "chat_template", "loss_mask_spans",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and
@@ -163,7 +166,8 @@ def oracle_sql() -> dict[str, str]:
     from pdfminer_spark.ops import (curationops, datasetops, layoutops,
                                     multimodal, pdfcorpus, ranking,
                                     relational, similarity, sketches,
-                                    temporal, textops, webingest)
+                                    temporal, textops, trainprep,
+                                    webingest)
 
     o: dict[str, str] = {}
     o.update(curationops.ORACLES)
@@ -178,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(ranking.ORACLES)
     o.update(pdfcorpus.ORACLES)
     o.update(webingest.ORACLES)
+    o.update(trainprep.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)
     o["extract_conversations"] = """

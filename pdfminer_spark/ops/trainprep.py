@@ -1,0 +1,190 @@
+"""Training-prep operators: the transformations that turn a curated
+corpus into model-ready sequences — fill-in-middle reordering for code
+corpora (Bavarian et al. 2022, "Efficient Training of Language Models
+to Fill in the Middle"), chat-template rendering of multi-turn
+conversations, and assistant-only loss-mask span computation.
+
+All three are PURE JVM-side expression/window plans — zero Python in
+the hot path (substring arithmetic, ordered aggregation, prefix-sum
+windows), so they inherit whole-stage codegen and scale as one or two
+exchanges regardless of corpus size.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textops import _docs
+
+# chat-template tokens (a deliberately simple public-format stand-in)
+_ROLE_OPEN = {"user": "<|user|>\n", "assistant": "<|assistant|>\n"}
+_TURN_CLOSE = "<|end|>\n"
+
+
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle reordering: for half the corpus (doc_id parity —
+    the published recipe applies FIM to a fixed fraction), split the
+    text at two deterministic character offsets and emit
+    ``<PRE>prefix<SUF>suffix<MID>middle``; the other half passes
+    through. Split points are pure integer functions of (doc_id,
+    length), so the transformation is a deterministic relabeling a
+    resumed job reproduces exactly.
+
+    Scale: zero exchanges — one pruned scan feeding substring
+    expressions inside whole-stage codegen."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n = F.length("text")
+    a = (n / 4).cast("long") + F.col("doc_id") % 7
+    b = F.least(a + (n / 3).cast("long") + 1, n)
+    a = F.least(a, b)
+    fim = F.concat(
+        F.lit("<PRE>"), F.expr("substring(text, 1, a)"),
+        F.lit("<SUF>"), F.expr("substring(text, b + 1)"),
+        F.lit("<MID>"),
+        F.expr("substring(text, a + 1, b - a)"))
+    return (d.withColumn("a", a).withColumn("b", b)
+            .select(
+                "doc_id",
+                (F.col("doc_id") % 2 == 0).cast("int").alias("fim_applied"),
+                F.when(F.col("doc_id") % 2 == 0, fim)
+                 .otherwise(F.col("text")).alias("out_text")))
+
+
+def _conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic conversation view of documents (the
+    extract_conversations shape): 50 conversations, turn roles
+    alternating user/assistant by turn index."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 4, "0"))
+         .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") / 50).cast("int") % 2 == 0, "user")
+         .otherwise("assistant").alias("role"),
+        "text")
+
+
+def chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering: each conversation's turns, in stable
+    turn order, become ``<|role|>\\ntext<|end|>\\n`` segments
+    concatenated into one training string. Ordered concatenation is the
+    group_concat shape: one exchange on conv_id, the aggregation sorts
+    (turn_idx, segment) structs in-partition — no window, no Python.
+
+    Scale: ONE exchange keyed on conv_id; rendered length is the sum of
+    turn lengths, bounded by the packing step downstream."""
+    t = _conv_turns(spark, sf_dir)
+    seg = F.concat(
+        F.when(F.col("role") == "user", F.lit(_ROLE_OPEN["user"]))
+         .otherwise(F.lit(_ROLE_OPEN["assistant"])),
+        F.col("text"), F.lit(_TURN_CLOSE))
+    return (t.select("conv_id", "turn_idx", seg.alias("seg"))
+            .groupBy("conv_id")
+            .agg(F.count("*").cast("int").alias("n_turns"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("turn_idx", "seg"))),
+                         lambda s: s["seg"]), "").alias("rendered")))
+
+
+def loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-only loss masking: for every assistant turn, the
+    [start, end) CHARACTER offsets of its text inside the rendered
+    conversation string (chat_template's exact layout), computed as a
+    prefix sum of prior segment lengths — the offsets a tokenizer-side
+    masker consumes. One window partitioned by conv_id ordered by
+    turn_idx; no corpus-wide anything.
+
+    Scale: ONE exchange (the conv_id window); emitted spans are
+    per-turn rows, linear in input."""
+    t = _conv_turns(spark, sf_dir)
+    open_len = F.when(F.col("role") == "user",
+                      F.lit(len(_ROLE_OPEN["user"])))\
+        .otherwise(F.lit(len(_ROLE_OPEN["assistant"])))
+    seg_len = open_len + F.length("text") + F.lit(len(_TURN_CLOSE))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum(seg_len).over(w), F.lit(0).cast("long"))
+    return (t.withColumn("span_start",
+                         (prior + open_len).cast("long"))
+            .withColumn("span_end",
+                        (F.col("span_start")
+                         + F.length("text")).cast("long"))
+            .filter(F.col("role") == "assistant")
+            .select("conv_id", "turn_idx", "span_start", "span_end"))
+
+
+ORACLES: dict[str, str] = {
+    "fim_transform": """
+        WITH sp AS (
+          SELECT doc_id, text, LENGTH(text) AS n,
+                 LEAST(LENGTH(text) // 4 + doc_id % 7,
+                       LEAST(LENGTH(text) // 4 + doc_id % 7
+                             + LENGTH(text) // 3 + 1,
+                             LENGTH(text))) AS a,
+                 LEAST(LENGTH(text) // 4 + doc_id % 7
+                       + LENGTH(text) // 3 + 1, LENGTH(text)) AS b
+          FROM documents
+        )
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::INT
+                 AS fim_applied,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 '<PRE>' || SUBSTR(text, 1, a)
+                 || '<SUF>' || SUBSTR(text, b + 1)
+                 || '<MID>' || SUBSTR(text, a + 1, b - a)
+               ELSE text END AS out_text
+        FROM sp
+    """,
+    "chat_template": """
+        WITH turns AS (
+          SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0')
+                   AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx,
+                 CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        )
+        SELECT conv_id, COUNT(*)::INT AS n_turns,
+               STRING_AGG('<|' || role || '|>' || CHR(10) || text
+                          || '<|end|>' || CHR(10), ''
+                          ORDER BY turn_idx) AS rendered
+        FROM turns GROUP BY conv_id
+    """,
+    "loss_mask_spans": """
+        WITH turns AS (
+          SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0')
+                   AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx,
+                 CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ), sized AS (
+          SELECT conv_id, turn_idx, role,
+                 LENGTH('<|' || role || '|>') + 1 AS open_len,
+                 LENGTH(text) AS text_len
+          FROM turns
+        ), pos AS (
+          SELECT conv_id, turn_idx, role, open_len, text_len,
+                 COALESCE(SUM(open_len + text_len + 8) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prior
+          FROM sized
+        )
+        SELECT conv_id, turn_idx,
+               (prior + open_len)::BIGINT AS span_start,
+               (prior + open_len + text_len)::BIGINT AS span_end
+        FROM pos WHERE role = 'assistant'
+    """,
+}
+
+QUERIES = {
+    "fim_transform": fim_transform,
+    "chat_template": chat_template,
+    "loss_mask_spans": loss_mask_spans,
+}

@@ -1,0 +1,56 @@
+"""Training-prep operators (ops/trainprep.py): FIM reordering must be
+losslessly invertible, chat-template rendering must be order-stable,
+and loss-mask spans must slice the rendered string to exactly each
+assistant turn's text."""
+import re
+
+
+def test_fim_transform_is_invertible(spark):
+    from pdfminer_spark.ops.trainprep import fim_transform
+
+    rows = fim_transform(spark, "/root/testdata/sf0.001").collect()
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()}
+    pat = re.compile(r"^<PRE>(.*)<SUF>(.*)<MID>(.*)$", re.S)
+    n_fim = 0
+    for r in rows:
+        if r["fim_applied"]:
+            m = pat.match(r["out_text"])
+            assert m, r["doc_id"]
+            (pre, suf, mid) = m.groups()
+            assert pre + mid + suf == docs[r["doc_id"]]
+            n_fim += 1
+        else:
+            assert r["out_text"] == docs[r["doc_id"]]
+    assert n_fim == sum(1 for d in docs if d % 2 == 0)
+
+
+def test_loss_mask_spans_slice_rendered_exactly(spark):
+    from pdfminer_spark.ops.trainprep import (_conv_turns, chat_template,
+                                              loss_mask_spans)
+
+    sf = "/root/testdata/sf0.001"
+    rendered = {r["conv_id"]: r["rendered"]
+                for r in chat_template(spark, sf).collect()}
+    turns = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in _conv_turns(spark, sf).collect()}
+    spans = loss_mask_spans(spark, sf).collect()
+    assert spans, "no assistant turns found"
+    for r in spans:
+        s = rendered[r["conv_id"]]
+        assert (s[r["span_start"]:r["span_end"]]
+                == turns[(r["conv_id"], r["turn_idx"])])
+        # the mask never covers role headers or turn terminators
+        assert s[r["span_start"] - 1] == "\n"
+        assert s[r["span_end"]:r["span_end"] + 7] == "<|end|>"
+
+
+def test_chat_template_plan_is_one_exchange(spark):
+    from pdfminer_spark.ops.trainprep import chat_template, fim_transform
+
+    plan = chat_template(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    fim_plan = fim_transform(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in fim_plan  # pure projection, zero shuffles
