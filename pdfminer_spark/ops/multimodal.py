@@ -210,20 +210,14 @@ def _decode_wav(b: bytes) -> dict:
 _AVI_MAX_CHUNKS = 1 << 20  # hostile-input ceiling on the chunk walk
 
 
-def _decode_avi(b: bytes) -> dict:
-    """Real container-level decode of a RIFF AVI video: iterative LIST
-    chunk walk (no recursion — a LIST bomb can nest arbitrarily deep),
-    MainAVIHeader timing, the first ``vids`` stream's BITMAPINFOHEADER,
-    true frame-chunk count for that stream, and the FIRST frame's
-    pixels — raw DIB frames (BI_RGB 24-bit, bottom-up BGR rows padded
-    to 4 bytes) decoded fully in numpy, MJPG frames through the real
-    baseline-JPEG decoder in ``ops/imagedec``. Later frames count
-    toward ``frames``/duration but are not pixel-decoded, mirroring the
-    first-frame contract of decode_gif/decode_tiff."""
+def _avi_scan(b: bytes) -> tuple:
+    """The shared AVI container walk: iterative LIST descent in
+    document order (no recursion — a LIST bomb can nest arbitrarily
+    deep), MainAVIHeader, the first ``vids`` stream's handler +
+    BITMAPINFOHEADER, and that stream's frame-chunk list. Returns
+    ``(avih, handler, strf, frames)`` with frames as
+    ``[(kind, offset, size), ...]``."""
     import struct
-
-    from pdfminer_spark.ops.imagedec import (ImageDecodeError,
-                                             decode_jpeg)
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise MediaDecodeError("not a RIFF/AVI payload")
@@ -273,34 +267,82 @@ def _decode_avi(b: bytes) -> dict:
             i = body + sz + (sz & 1)  # chunks are word-aligned
     if strf is None or not frames:
         raise MediaDecodeError("AVI missing video stream or frames")
-    (_, w, raw_h, _planes, bpp, compression) = strf
-    h = abs(raw_h)
-    if not (0 < w and 0 < h and w * h <= (1 << 26)):
-        raise MediaDecodeError("bad AVI dimensions %dx%d" % (w, h))
-    (kind0, off0, sz0) = frames[0]
+    return (avih, handler, strf, frames)
+
+
+def _avi_frame_pixels(b: bytes, frame: tuple, w: int, h: int,
+                      compression: int, handler: bytes,
+                      bpp: int) -> np.ndarray:
+    """Decode ONE frame chunk: raw DIB (BI_RGB 24-bit, bottom-up BGR
+    rows padded to 4 bytes) fully in numpy, MJPG through the real
+    baseline-JPEG decoder in ``ops/imagedec``."""
+    import struct
+
+    from pdfminer_spark.ops.imagedec import (ImageDecodeError,
+                                             decode_jpeg)
+
+    (kind, off, sz) = frame
     mjpg = handler == b"MJPG" or compression == 0x47504A4D
-    if kind0 == b"dc" and mjpg:
+    if kind == b"dc" and mjpg:
         try:
-            d = decode_jpeg(b[off0:off0 + sz0])
+            d = decode_jpeg(b[off:off + sz])
         except (ImageDecodeError, IndexError, struct.error) as e:
             raise MediaDecodeError("AVI MJPG frame: %s" % e)
         if (d["width"], d["height"]) != (w, h):
             raise MediaDecodeError("MJPG frame size != stream header")
-        px = d["pixels"]
-    elif compression == 0 and bpp == 24:  # raw DIB, bottom-up BGR
+        return d["pixels"]
+    if compression == 0 and bpp == 24:  # raw DIB, bottom-up BGR
         row_bytes = ((w * bpp + 31) // 32) * 4
-        if sz0 < row_bytes * h:
+        if sz < row_bytes * h:
             raise MediaDecodeError("AVI DIB frame truncated")
         rows = np.frombuffer(b, np.uint8, count=row_bytes * h,
-                             offset=off0).reshape(h, row_bytes)
-        px = rows[::-1, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
-    else:
-        raise MediaDecodeError("unsupported AVI codec %r/%08x"
-                               % (handler, compression))
+                             offset=off).reshape(h, row_bytes)
+        return rows[::-1, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+    raise MediaDecodeError("unsupported AVI codec %r/%08x"
+                           % (handler, compression))
+
+
+def _avi_geometry(strf: tuple) -> tuple[int, int, int, int]:
+    (_, w, raw_h, _planes, bpp, compression) = strf
+    h = abs(raw_h)
+    if not (0 < w and 0 < h and w * h <= (1 << 26)):
+        raise MediaDecodeError("bad AVI dimensions %dx%d" % (w, h))
+    return (w, h, bpp, compression)
+
+
+def _decode_avi(b: bytes) -> dict:
+    """Real container-level decode of a RIFF AVI video: the shared
+    container walk plus the FIRST frame's pixels. Later frames count
+    toward ``frames``/duration but are not pixel-decoded, mirroring the
+    first-frame contract of decode_gif/decode_tiff; use
+    ``decode_avi_frames`` for seek-accurate sampling."""
+    (avih, handler, strf, frames) = _avi_scan(b)
+    (w, h, bpp, compression) = _avi_geometry(strf)
+    px = _avi_frame_pixels(b, frames[0], w, h, compression, handler, bpp)
     usec = avih[0] if avih else 0
     return {"width": w, "height": h, "frames": len(frames),
             "bpp": 24, "duration": round(len(frames) * usec / 1e6, 6),
             "pixels": np.ascontiguousarray(px)}
+
+
+def decode_avi_frames(b: bytes, indices: list[int]) -> dict:
+    """Seek-accurate frame sampling: decode exactly the requested frame
+    indices (the Content-Length-framed chunk list makes every frame
+    independently addressable — no sequential decode of the frames in
+    between, the property real video samplers rely on). Returns
+    width/height/frames plus ``samples`` = [(frame_idx, pixels), ...]."""
+    (avih, handler, strf, frames) = _avi_scan(b)
+    (w, h, bpp, compression) = _avi_geometry(strf)
+    samples = []
+    for k in indices:
+        if not 0 <= k < len(frames):
+            raise MediaDecodeError("AVI frame index %d out of range" % k)
+        samples.append((k, np.ascontiguousarray(_avi_frame_pixels(
+            b, frames[k], w, h, compression, handler, bpp))))
+    usec = avih[0] if avih else 0
+    return {"width": w, "height": h, "frames": len(frames),
+            "bpp": 24, "duration": round(len(frames) * usec / 1e6, 6),
+            "samples": samples}
 
 
 # MPEG-1 Layer III bitrate table (kbps, index 1..14) and sample rates
@@ -1350,6 +1392,103 @@ ORACLES["media_decode_avi"] = """
     FROM px
 """
 
+def _avi_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    def chunk(cid, body):
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(subtype, body):
+        return chunk(b"LIST", subtype + body)
+
+    def build_avi(doc_id: int, n_frames: int) -> bytes:
+        w = 9 + doc_id % 7
+        h = 6 + (doc_id // 7) % 5
+        xx = np.arange(w)[None, :, None]
+        yy = np.arange(h)[:, None, None]
+        cc = np.arange(3)[None, None, :]
+        avih = struct.pack("<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0,
+                           w, h) + bytes(16)
+        strh = b"vids" + b"DIB " + bytes(48)
+        strf = struct.pack("<IiiHHI", 40, w, h, 1, 24, 0) + bytes(20)
+        hdrl = lst(b"hdrl", chunk(b"avih", avih)
+                   + lst(b"strl", chunk(b"strh", strh)
+                         + chunk(b"strf", strf)))
+        row_bytes = ((w * 24 + 31) // 32) * 4
+        movi_body = b""
+        for k in range(n_frames):
+            px = ((xx * 5 + yy * 7 + cc * 11 + doc_id + k) % 256) \
+                .astype(np.uint8)
+            bgr = px[..., ::-1]
+            rows = b"".join(bgr[y].tobytes().ljust(row_bytes, b"\x00")
+                            for y in range(h - 1, -1, -1))
+            movi_body += chunk(b"00db", rows)
+        inner = b"AVI " + hdrl + lst(b"movi", movi_body)
+        return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            n = 2 + did % 5
+            idx = [j * n // 2 for j in range(2)]
+            m = decode_avi_frames(build_avi(did, n), idx)
+            for (j, (f, px)) in enumerate(m["samples"]):
+                rows.append((did, m["frames"], j, f, int(px.sum())))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "n_frames", "sample_pos", "frame_idx", "pixel_sum"])
+
+
+def media_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the driver's oracle gate: per
+    document, build a raw-DIB AVI with 2-6 frames whose pixels differ
+    per frame (frame f carries +f in the closed form), sample 2 frames
+    at stride positions j*n//2 with ``decode_avi_frames`` — the framed
+    chunk list makes each frame independently addressable, no decode of
+    the frames in between — and emit each sampled frame's pixel sum.
+    The oracle recomputes the stride arithmetic AND the per-frame sums,
+    so sampling the wrong frame (or the first frame twice) is a visible
+    mismatch.
+
+    Scale: one bare-key spread + one MapInPandas, like the other decode
+    gates; per-row work bounded by the <=6-frame synthetic clip."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
+        _avi_sample_batches,
+        schema=("doc_id long, n_frames int, sample_pos int, "
+                "frame_idx int, pixel_sum long"))
+
+
+ORACLES["media_avi_frame_sample"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             (9 + doc_id % 7)::INT AS width,
+             (6 + (doc_id // 7) % 5)::INT AS height,
+             (2 + doc_id % 5)::INT AS n_frames
+      FROM documents
+    ), samples AS (
+      SELECT doc_id, width, height, n_frames,
+             j AS sample_pos, (j * n_frames) // 2 AS frame_idx
+      FROM dims, (SELECT UNNEST(RANGE(0, 2)) AS j)
+    ), px AS (
+      SELECT doc_id, n_frames, sample_pos, frame_idx,
+             SUM((x * 5 + y * 7 + c * 11 + doc_id + frame_idx) % 256)
+               AS pixel_sum
+      FROM samples,
+           (SELECT UNNEST(RANGE(0, 16)) AS x),
+           (SELECT UNNEST(RANGE(0, 11)) AS y),
+           (SELECT UNNEST(RANGE(0, 3)) AS c)
+      WHERE x < width AND y < height
+      GROUP BY doc_id, n_frames, sample_pos, frame_idx
+    )
+    SELECT doc_id, n_frames, sample_pos::INT AS sample_pos,
+           frame_idx::INT AS frame_idx, pixel_sum::BIGINT AS pixel_sum
+    FROM px
+"""
+
 ORACLES["media_mp3_meta"] = """
     WITH br AS (
       SELECT * FROM (VALUES (1, 32), (2, 40), (3, 48), (4, 56), (5, 64),
@@ -1389,4 +1528,5 @@ QUERIES = {
     "media_decode_avi": media_decode_avi,
     "media_mp3_meta": media_mp3_meta,
     "image_dhash": image_dhash,
+    "media_avi_frame_sample": media_avi_frame_sample,
 }

@@ -398,3 +398,21 @@ def test_dhash_invariance_and_sensitivity():
     # grayscale input (single channel) accepted
     g = dhash_bits(img[..., :1])
     assert len(g) == 64
+
+
+def test_decode_avi_frames_seek_accurate():
+    from pdfminer_spark.ops.multimodal import (MediaDecodeError,
+                                               decode_avi_frames)
+
+    rng = np.random.default_rng(71)
+    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    avi = make_avi(frames)
+    m = decode_avi_frames(avi, [0, 2, 4])
+    assert m["frames"] == 5
+    for ((k, px), want_k) in zip(m["samples"], (0, 2, 4)):
+        assert k == want_k
+        assert np.array_equal(px, frames[want_k])
+    import pytest as _pt
+    with _pt.raises(MediaDecodeError, match="out of range"):
+        decode_avi_frames(avi, [5])
