@@ -134,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_repair", "robots_filter", "html_metadata",
         "sitemap_urls", "image_dhash", "unicode_normalize",
         "fim_transform", "chat_template", "loss_mask_spans",
-        "media_avi_frame_sample",
+        "media_avi_frame_sample", "context_truncate",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and

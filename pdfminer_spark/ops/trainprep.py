@@ -116,7 +116,61 @@ def loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "span_start", "span_end"))
 
 
+_CONTEXT_BUDGET = 600  # rendered characters
+
+
+def context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation: keep the longest SUFFIX of each
+    conversation's turns whose rendered length fits the budget — the
+    standard chat-history rule (newest turns survive, oldest fall off).
+    A turn is kept iff the reverse cumulative rendered length through
+    it is within budget, one window partitioned by conv_id in
+    descending turn order.
+
+    Scale: ONE exchange (the conv_id window); emits one row per turn
+    with its suffix length and keep decision, so downstream rendering
+    filters on ``kept`` without re-deriving anything."""
+    t = _conv_turns(spark, sf_dir)
+    open_len = F.when(F.col("role") == "user",
+                      F.lit(len(_ROLE_OPEN["user"])))\
+        .otherwise(F.lit(len(_ROLE_OPEN["assistant"])))
+    seg_len = open_len + F.length("text") + F.lit(len(_TURN_CLOSE))
+    w = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    suffix = F.sum(seg_len).over(w).cast("long")
+    return (t.select("conv_id", "turn_idx",
+                     suffix.alias("suffix_chars"),
+                     (suffix <= _CONTEXT_BUDGET).cast("int")
+                     .alias("kept")))
+
+
 ORACLES: dict[str, str] = {
+    "context_truncate": """
+        WITH turns AS (
+          SELECT 'conv-' || LPAD((doc_id %% 50)::VARCHAR, 4, '0')
+                   AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx,
+                 CASE WHEN (doc_id // 50) %% 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ), sized AS (
+          SELECT conv_id, turn_idx,
+                 LENGTH('<|' || role || '|>') + 1
+                 + LENGTH(text) + 8 AS seg_len
+          FROM turns
+        )
+        SELECT conv_id, turn_idx,
+               SUM(seg_len) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS suffix_chars,
+               (CASE WHEN SUM(seg_len) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  <= %(budget)d THEN 1 ELSE 0 END)::INT AS kept
+        FROM sized
+    """ % {"budget": _CONTEXT_BUDGET},
     "fim_transform": """
         WITH sp AS (
           SELECT doc_id, text, LENGTH(text) AS n,
@@ -187,4 +241,5 @@ QUERIES = {
     "fim_transform": fim_transform,
     "chat_template": chat_template,
     "loss_mask_spans": loss_mask_spans,
+    "context_truncate": context_truncate,
 }

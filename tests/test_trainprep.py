@@ -54,3 +54,22 @@ def test_chat_template_plan_is_one_exchange(spark):
     fim_plan = fim_transform(spark, "/root/testdata/sf0.001") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in fim_plan  # pure projection, zero shuffles
+
+
+def test_context_truncate_keeps_longest_fitting_suffix(spark):
+    from pdfminer_spark.ops.trainprep import (_CONTEXT_BUDGET,
+                                              context_truncate)
+
+    rows = context_truncate(spark, "/root/testdata/sf0.001").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for turns in by_conv.values():
+        turns.sort(key=lambda r: r["turn_idx"])
+        kept = [bool(r["kept"]) for r in turns]
+        # keep set is a suffix: once kept, every later turn is kept
+        assert kept == sorted(kept)
+        # every kept turn fits; the newest turn before the cut would not
+        for r in turns:
+            assert bool(r["kept"]) == (r["suffix_chars"]
+                                       <= _CONTEXT_BUDGET)
