@@ -28,7 +28,9 @@ REAL_SF = "/root/testdata/sf0.1"
 
 OPS = ["payload_decompress", "encoding_repair", "warc_records",
        "warc_extract", "robots_filter", "html_metadata", "sitemap_urls",
-       "image_dhash", "media_decode_tiff", "media_mp3_meta"]
+       "image_dhash", "media_decode_tiff", "media_mp3_meta",
+       "unicode_normalize", "fim_transform", "chat_template",
+       "loss_mask_spans", "context_truncate", "media_avi_frame_sample"]
 
 
 def synth_dir(n_docs: int) -> str:
