@@ -73,7 +73,8 @@ def test_queries_lead_with_stale_driver_row_ops():
         "embedding_clusters",
         "dedup_minhash_buckets", "dedup_minhash_pairs", "pii_scrub",
         "contamination_check", "stratified_sample",
-        # past the 50-sample window: remaining r5-row ops, source
+        # past the 50-sample window (tier-1 grew to 27 with the late
+        # additions, so ALL 13 r5-row ops now sit outside it): source
         # unchanged — r8 MUST rotate these into its head (they will be
         # 3 rounds stale)
         "pack_chunks", "normalize_text", "pack_sequences",
