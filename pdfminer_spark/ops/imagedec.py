@@ -17,8 +17,7 @@ Control Extension transparency — first frame's pixels, total frame
 count); baseline TIFF 6.0 (both byte orders, 8-bit gray/RGB strips,
 Compression none/LZW/PackBits, Predictor 2 — first IFD's pixels, IFD
 count as ``frames``). Out of scope (still the documented fallback in
-``decode_media``): sub-byte-depth interlaced PNG, tiled/planar/16-bit
-TIFF,
+``decode_media``): tiled/planar/16-bit TIFF,
 arithmetic/12-bit/lossless/hierarchical JPEG, and the video/audio
 compressed codecs (MP3/H.264 need a real codec stack).
 
@@ -102,9 +101,11 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int,
 
 def decode_png(b: bytes) -> dict:
     """Decode a PNG (bit depths 1/2/4/8/16; color types gray / RGB /
-    palette / gray+alpha / RGBA; interlace none or Adam7 for byte-wide
-    depths). 16-bit samples are truncated to their high byte (the 8-bit
-    view javax.imageio also presents through getRGB)."""
+    palette / gray+alpha / RGBA; interlace none or Adam7 at EVERY
+    depth — sub-byte passes bit-unpack per pass since each pass packs
+    its scanlines independently). 16-bit samples are truncated to their
+    high byte (the 8-bit view javax.imageio also presents through
+    getRGB)."""
     if b[:8] != PNG_SIG:
         raise ImageDecodeError("not a PNG signature")
     pos = 8
@@ -150,11 +151,9 @@ def decode_png(b: bytes) -> dict:
     bits_pp = depth * channels
     fpp = max(bits_pp // 8, 1)  # filter unit, spec §6
     if interlace == 1:
-        if depth < 8:
-            raise ImageDecodeError(
-                "sub-byte interlaced PNG not supported")
         # Adam7 (spec §8.2): 7 independent sub-images, each with its
-        # own scanline filtering, at (x0, dx, y0, dy) offsets
+        # own scanline filtering, at (x0, dx, y0, dy) offsets; sub-byte
+        # depths pack each pass's scanlines to the bit (stride ceils)
         passes = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
                   (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
         dims = []
@@ -162,7 +161,7 @@ def decode_png(b: bytes) -> dict:
         for (x0, dx, y0, dy) in passes:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
-            pstride = pw * (bits_pp // 8)
+            pstride = (pw * bits_pp + 7) // 8
             dims.append((pw, ph, pstride))
             if pw and ph:
                 need += (pstride + 1) * ph
@@ -180,8 +179,17 @@ def decode_png(b: bytes) -> dict:
     if len(raw) < need:
         raise ImageDecodeError("decompressed data too short")
     bpsample = 2 if depth == 16 else 1
+    weights = 1 << np.arange(depth - 1, -1, -1) if depth < 8 else None
+
+    def _unpack_subbyte(rows: np.ndarray, n_px: int) -> np.ndarray:
+        bits = np.unpackbits(rows, axis=1)[:, :n_px * depth]
+        return (bits.reshape(rows.shape[0], n_px, depth)
+                * weights).sum(axis=2).astype(np.uint8)
+
     if interlace == 1:
-        grid = np.zeros((height, width, channels * bpsample), np.uint8)
+        grid = np.zeros(
+            (height, width, 1 if depth < 8 else channels * bpsample),
+            np.uint8)
         off = 0
         for ((x0, dx, y0, dy), (pw, ph, pstride)) in zip(passes, dims):
             if not (pw and ph):
@@ -190,8 +198,12 @@ def decode_png(b: bytes) -> dict:
             sub = _png_unfilter(
                 np.frombuffer(raw, np.uint8, count=n, offset=off),
                 ph, pstride, fpp)
-            grid[y0::dy, x0::dx] = sub.reshape(
-                ph, pw, channels * bpsample)
+            if depth < 8:
+                grid[y0::dy, x0::dx, 0] = _unpack_subbyte(
+                    sub.reshape(ph, pstride), pw)
+            else:
+                grid[y0::dy, x0::dx] = sub.reshape(
+                    ph, pw, channels * bpsample)
             off += n
         arr = grid.reshape(height, -1)
     else:
@@ -199,12 +211,11 @@ def decode_png(b: bytes) -> dict:
             np.frombuffer(raw, np.uint8, count=need),
             height, stride, fpp)
     if depth < 8:
-        # unpack sub-byte samples, then scale/palette below
-        bits = np.unpackbits(arr, axis=1)[:, :width * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        samples = (bits.reshape(height, width, depth) * weights).sum(
-            axis=2).astype(np.uint8)
-        px = samples[..., None]
+        # interlaced passes were unpacked per pass above; the linear
+        # layout unpacks here
+        samples = (arr if interlace == 1
+                   else _unpack_subbyte(arr, width))
+        px = samples.reshape(height, width)[..., None]
     elif depth == 16:
         px = arr.reshape(height, width, channels, 2)[..., 0]  # high byte
     else:

@@ -820,3 +820,56 @@ def test_tiff_mutation_fuzz_never_escapes():
             d = decode_media(bytes(buf), "image")
             assert isinstance(d, dict) and "frames" in d
     assert time.time() - t0 < 30.0
+
+
+def test_png_subbyte_adam7_exact():
+    """Sub-byte Adam7: each pass packs its scanlines to the bit
+    independently — a fixture encoder built straight from spec §8.2
+    pins 1/2/4-bit gray and 4-bit palette against the closed image."""
+    rng = np.random.default_rng(81)
+    passes = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+
+    def pack_rows(samples, depth):
+        # bit-pack one pass's rows, each row padded to a byte boundary
+        out = bytearray()
+        for row in samples:
+            bits = np.zeros(len(row) * depth, np.uint8)
+            for (i, v) in enumerate(row):
+                for k in range(depth):
+                    bits[i * depth + k] = (int(v) >> (depth - 1 - k)) & 1
+            out.append(0)  # filter type None per scanline
+            out += np.packbits(bits).tobytes()
+        return bytes(out)
+
+    for (depth, H, W) in [(1, 13, 19), (2, 9, 10), (4, 7, 8), (4, 1, 1)]:
+        img = rng.integers(0, 1 << depth, (H, W), dtype=np.uint8)
+        raw = bytearray()
+        for (x0, dx, y0, dy) in passes:
+            sub = img[y0::dy, x0::dx]
+            if 0 in sub.shape:
+                continue
+            raw += pack_rows(sub, depth)
+        out = PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", W, H, depth, 0, 0, 0, 1))
+        out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += _chunk(b"IEND", b"")
+        d = decode_png(out)
+        scale = 255 // ((1 << depth) - 1)
+        assert np.array_equal(d["pixels"][..., 0], img * scale), \
+            (depth, H, W)
+    # 4-bit palette, interlaced
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 11), dtype=np.uint8)
+    raw = bytearray()
+    for (x0, dx, y0, dy) in passes:
+        sub = idx[y0::dy, x0::dx]
+        if 0 in sub.shape:
+            continue
+        raw += pack_rows(sub, 4)
+    out = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 11, 6, 4, 3, 0, 0, 1))
+    out += _chunk(b"PLTE", plte.tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(out)["pixels"], plte[idx])
