@@ -93,11 +93,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfminer_spark.ops import (curationops, datasetops, layoutops,
-                                    multimodal, pdfcorpus, ranking,
-                                    relational, similarity, sketches,
-                                    temporal, textops, trainprep,
-                                    webingest)
+    from pdfminer_spark.ops import (archives, curationops, datasetops,
+                                    layoutops, multimodal, pdfcorpus,
+                                    ranking, relational, similarity,
+                                    sketches, temporal, textops,
+                                    trainprep, webingest)
 
     q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q_all.update(curationops.QUERIES)
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all.update(pdfcorpus.QUERIES)
     q_all.update(webingest.QUERIES)
     q_all.update(trainprep.QUERIES)
+    q_all.update(archives.QUERIES)
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls", "image_dhash", "unicode_normalize",
         "fim_transform", "chat_template", "loss_mask_spans",
         "media_avi_frame_sample", "context_truncate",
+        "zip_members", "docx_extract",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and
@@ -165,11 +167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdfminer_spark.ops import (curationops, datasetops, layoutops,
-                                    multimodal, pdfcorpus, ranking,
-                                    relational, similarity, sketches,
-                                    temporal, textops, trainprep,
-                                    webingest)
+    from pdfminer_spark.ops import (archives, curationops, datasetops,
+                                    layoutops, multimodal, pdfcorpus,
+                                    ranking, relational, similarity,
+                                    sketches, temporal, textops,
+                                    trainprep, webingest)
 
     o: dict[str, str] = {}
     o.update(curationops.ORACLES)
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(pdfcorpus.ORACLES)
     o.update(webingest.ORACLES)
     o.update(trainprep.ORACLES)
+    o.update(archives.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)
     o["extract_conversations"] = """
