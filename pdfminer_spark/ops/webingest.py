@@ -462,7 +462,90 @@ def html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "lang string")))
 
 
+_TEX_DROP_ARG = ("label", "cite", "ref", "usepackage", "documentclass",
+                 "includegraphics", "bibliography", "bibliographystyle",
+                 "input", "include")
+_TEX_MAX_PASSES = 10  # nesting bound
+
+
+def strip_latex(s: str) -> str:
+    """Rule-based LaTeX-to-text (the arXiv-source pipeline step): drop
+    comments (unescaped ``%`` to end of line), keep only the
+    ``\\begin{document}`` body when present, remove display and inline
+    math, unwrap textual ``\\cmd{arg}`` to ``arg`` (reference-like
+    commands in ``_TEX_DROP_ARG`` drop their argument instead), erase
+    bare commands and environment markers, strip leftover braces, and
+    collapse whitespace. Command unwrapping iterates up to a fixed pass
+    bound so nested markup terminates on hostile input."""
+    import re
+
+    s = re.sub(r"(?<!\\)%[^\n]*", "", s)
+    m = re.search(r"\\begin\{document\}(.*?)(?:\\end\{document\}|$)",
+                  s, re.S)
+    if m:
+        s = m.group(1)
+    s = re.sub(r"\$\$.*?\$\$", " ", s, flags=re.S)
+    s = re.sub(r"\$[^$]*\$", " ", s)
+    # environment markers go FIRST: the generic unwrap below would
+    # otherwise turn \begin{itemize} into the literal word "itemize"
+    s = re.sub(r"\\begin\{[^{}]*\}|\\end\{[^{}]*\}", " ", s)
+    drop = "|".join(_TEX_DROP_ARG)
+    for _ in range(_TEX_MAX_PASSES):
+        new = re.sub(r"\\(?:%s)\*?\{[^{}]*\}" % drop, " ", s)
+        new = re.sub(r"\\[A-Za-z]+\*?\{([^{}]*)\}", r"\1", new)
+        if new == s:
+            break
+        s = new
+    s = re.sub(r"\\[A-Za-z]+\*?", " ", s)
+    s = re.sub(r"\\[^A-Za-z]", " ", s)  # escaped symbols (\%, \&)
+    s = s.replace("{", " ").replace("}", " ")
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _latex_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_tex(doc_id: int, text: str) -> str:
+        words = text.split(" ")
+        marked = " ".join(
+            "\\emph{%s}" % w if i % 5 == 2 else w
+            for (i, w) in enumerate(words))
+        return ("% synthetic arXiv-style source\n"
+                "\\documentclass{article}\n"
+                "\\usepackage{amsmath}\n"
+                "\\begin{document}\n"
+                "\\section{Introduction}\n"
+                "Let $x^2 + y_i$ hold. % trailing comment\n"
+                + marked + "\n\\label{sec:intro}\n"
+                "\\end{document}\n")
+
+    for pdf in it:
+        rows = []
+        for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+            rows.append((int(doc_id),
+                         strip_latex(build_tex(int(doc_id), text))))
+        yield pd.DataFrame(rows, columns=["doc_id", "stripped"])
+
+
+def latex_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX source stripping under the driver's oracle gate: wrap each
+    document's text in a synthetic arXiv-style source (preamble,
+    comments, a section command, inline math, every fifth word
+    emph-wrapped, a trailing label) and require the stripper to recover
+    exactly ``Introduction Let hold. <text>`` — preamble/comments/math/
+    label gone, command-wrapped words intact.
+
+    Scale: one map-side stage on the scan partitions."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(_latex_batches,
+                         schema="doc_id long, stripped string"))
+
+
 ORACLES: dict[str, str] = {
+    "latex_strip": """
+        SELECT doc_id,
+               'Introduction Let hold. ' || text AS stripped
+        FROM documents
+    """,
     "sitemap_urls": """
         SELECT doc_id,
                CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex'
@@ -535,4 +618,5 @@ QUERIES = {
     "robots_filter": robots_filter,
     "html_metadata": html_metadata,
     "sitemap_urls": sitemap_urls,
+    "latex_strip": latex_strip,
 }

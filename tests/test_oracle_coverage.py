@@ -57,7 +57,7 @@ def test_queries_lead_with_stale_driver_row_ops():
         "sitemap_urls", "image_dhash", "unicode_normalize",
         "fim_transform", "chat_template", "loss_mask_spans",
         "media_avi_frame_sample", "context_truncate",
-        "zip_members", "docx_extract",
+        "zip_members", "docx_extract", "latex_strip",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and

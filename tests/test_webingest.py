@@ -210,3 +210,31 @@ def test_sitemap_parsing_and_bounds():
         parse_sitemap("<rss></rss>")
     with pytest.raises(WarcError, match="malformed"):
         parse_sitemap("<urlset><url>")
+
+
+def test_strip_latex_rules():
+    from pdfminer_spark.ops.webingest import strip_latex
+
+    src = r"""% header comment
+\documentclass[11pt]{article}
+\usepackage{amsmath}
+\begin{document}
+\title{A \textbf{Bold} Title}
+\section*{Results}
+We find $E = mc^2$ that \emph{nested \textbf{marks}} survive. % eol
+$$\int_0^1 x\,dx$$
+100\% of cases \& more.\label{r}
+\begin{itemize}
+\item first point
+\end{itemize}
+\end{document}
+trailing junk after end is dropped"""
+    out = strip_latex(src)
+    assert out == ("A Bold Title Results We find that nested marks "
+                   "survive. 100 of cases more. first point")
+    # no \begin{document}: whole source is the body
+    assert strip_latex(r"\textit{hi} there") == "hi there"
+    # hostile deep nesting terminates (pass bound)
+    deep = "x" + "".join("\\emph{" for _ in range(5000)) \
+        + "y" + "}" * 5000
+    assert isinstance(strip_latex(deep), str)
