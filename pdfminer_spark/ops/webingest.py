@@ -502,6 +502,63 @@ def strip_latex(s: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
 
+def strip_markdown(s: str) -> str:
+    """Rule-based Markdown-to-text (the GitHub/docs-corpora step):
+    fence markers drop but fenced code CONTENT survives (code is
+    training text), inline code unwraps, images become their alt text,
+    links keep their anchor text, ATX headers / blockquote markers /
+    list bullets / horizontal rules are erased, emphasis unwraps
+    (strong before em so ``**`` never parses as two ``*``), and
+    whitespace collapses."""
+    import re
+
+    s = re.sub(r"^```[^\n]*$", " ", s, flags=re.M)   # fence markers
+    s = re.sub(r"`([^`]*)`", r"\1", s)               # inline code
+    s = re.sub(r"!\[([^\]]*)\]\([^)]*\)", r"\1", s)  # images -> alt
+    s = re.sub(r"\[([^\]]*)\]\([^)]*\)", r"\1", s)   # links -> anchor
+    s = re.sub(r"^#{1,6}\s*", "", s, flags=re.M)     # ATX headers
+    s = re.sub(r"^\s*(?:[-*+]|\d+\.)\s+", " ", s, flags=re.M)  # bullets
+    s = re.sub(r"^\s*>+\s?", " ", s, flags=re.M)     # blockquotes
+    s = re.sub(r"^\s*(?:-{3,}|\*{3,}|_{3,})\s*$", " ", s, flags=re.M)
+    s = re.sub(r"(\*\*|__)(.+?)\1", r"\2", s, flags=re.S)  # strong
+    s = re.sub(r"(\*|_)(.+?)\1", r"\2", s, flags=re.S)     # em
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _markdown_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_md(text: str) -> str:
+        words = text.split(" ")
+        marked = " ".join(
+            "**%s**" % w if i % 6 == 1 else w
+            for (i, w) in enumerate(words))
+        return ("# Title\n\n"
+                "Some *emphasized* intro with a [link](https://x/y) "
+                "and `inline code`.\n\n"
+                "- item one\n- item two\n\n"
+                "```python\ncode block line\n```\n\n"
+                "> quoted wisdom\n\n---\n\n" + marked + "\n")
+
+    for pdf in it:
+        rows = []
+        for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+            rows.append((int(doc_id), strip_markdown(build_md(text))))
+        yield pd.DataFrame(rows, columns=["doc_id", "stripped"])
+
+
+def markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown stripping under the driver's oracle gate: wrap each
+    document's text in a synthetic README-style page (header, emphasis,
+    link, inline code, list, fenced code, blockquote, rule, every sixth
+    word strong-wrapped) and require the exact expected text back —
+    markers gone, anchor/code/quote CONTENT intact.
+
+    Scale: one map-side stage on the scan partitions."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(_markdown_batches,
+                         schema="doc_id long, stripped string"))
+
+
 def _latex_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     def build_tex(doc_id: int, text: str) -> str:
         words = text.split(" ")
@@ -544,6 +601,13 @@ ORACLES: dict[str, str] = {
     "latex_strip": """
         SELECT doc_id,
                'Introduction Let hold. ' || text AS stripped
+        FROM documents
+    """,
+    "markdown_strip": """
+        SELECT doc_id,
+               'Title Some emphasized intro with a link and inline '
+               || 'code. item one item two code block line quoted '
+               || 'wisdom ' || text AS stripped
         FROM documents
     """,
     "sitemap_urls": """
@@ -619,4 +683,5 @@ QUERIES = {
     "html_metadata": html_metadata,
     "sitemap_urls": sitemap_urls,
     "latex_strip": latex_strip,
+    "markdown_strip": markdown_strip,
 }

@@ -238,3 +238,30 @@ trailing junk after end is dropped"""
     deep = "x" + "".join("\\emph{" for _ in range(5000)) \
         + "y" + "}" * 5000
     assert isinstance(strip_latex(deep), str)
+
+
+def test_strip_markdown_rules():
+    from pdfminer_spark.ops.webingest import strip_markdown
+
+    src = """## Install guide
+
+Run `pip install x` or see the [docs](https://d/x) and
+![diagram](img.png) below.
+
+1. step one
+2. step *two*
+
+```bash
+make build
+```
+
+> note: **really** works
+
+***
+plain tail"""
+    out = strip_markdown(src)
+    assert out == ("Install guide Run pip install x or see the docs and "
+                   "diagram below. step one step two make build "
+                   "note: really works plain tail")
+    # strong parses before em: **x** never leaves stray asterisks
+    assert strip_markdown("a **b** *c* __d__ _e_") == "a b c d e"
