@@ -809,6 +809,19 @@ def decompress_payload(b: bytes, cap: int = _DECOMP_CAP) -> tuple[str, bytes]:
         raise PayloadError("unknown compression magic")
     try:
         out = d.decompress(b, cap + 1)
+        # concatenated members (warc.gz writes ONE gzip member per
+        # record; bzip2/xz multi-stream files exist too): keep inflating
+        # trailing members under the same total cap
+        while (fmt != "zlib" and d.eof and d.unused_data
+               and len(out) <= cap):
+            rest = d.unused_data
+            if fmt == "gzip":
+                d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            elif fmt == "bz2":
+                d = bz2.BZ2Decompressor()
+            else:
+                d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            out += d.decompress(rest, cap + 1 - len(out))
     except (zlib.error, OSError, lzma.LZMAError, EOFError, ValueError) as e:
         raise PayloadError("corrupt %s stream: %s" % (fmt, e))
     if len(out) > cap:

@@ -461,3 +461,38 @@ def test_unicode_normalize_agrees_with_duckdb_nfc():
         assert unicodedata.normalize(
             "NFC", unicodedata.normalize("NFC", s)) \
             == unicodedata.normalize("NFC", s)
+
+
+def test_decompress_payload_concatenated_members():
+    """warc.gz writes one gzip member per record — concatenated members
+    must inflate to the full byte stream, still under the total cap."""
+    import bz2
+    import lzma
+    import zlib
+
+    import pytest
+
+    from pdfminer_spark.ops.datasetops import (PayloadError,
+                                               decompress_payload)
+
+    def gz(raw):
+        c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return c.compress(raw) + c.flush()
+
+    parts = [b"WARC record one " * 10, b"record two " * 20, b"three"]
+    (fmt, out) = decompress_payload(b"".join(gz(p) for p in parts))
+    assert (fmt, out) == ("gzip", b"".join(parts))
+    (fmt, out) = decompress_payload(
+        bz2.compress(parts[0], 1) + bz2.compress(parts[1], 1))
+    assert (fmt, out) == ("bz2", parts[0] + parts[1])
+    (fmt, out) = decompress_payload(
+        lzma.compress(parts[0]) + lzma.compress(parts[1]))
+    assert (fmt, out) == ("xz", parts[0] + parts[1])
+    # the cap covers the TOTAL across members
+    big = gz(b"\x00" * 900_000) * 3
+    with pytest.raises(PayloadError, match="cap"):
+        decompress_payload(big, cap=1_000_000)
+    # a truncated trailing member still raises
+    two = gz(parts[0]) + gz(parts[1])
+    with pytest.raises(PayloadError):
+        decompress_payload(two[:len(two) - 4])
