@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     layoutops, multimodal, pdfcorpus,
                                     ranking, relational, similarity,
                                     sketches, temporal, textops,
-                                    trainprep, webingest)
+                                    trainprep, transcripts, webingest)
 
     q_all: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q_all.update(curationops.QUERIES)
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_all.update(webingest.QUERIES)
     q_all.update(trainprep.QUERIES)
     q_all.update(archives.QUERIES)
+    q_all.update(transcripts.QUERIES)
     q_all["extract_documents"] = extract_documents
     q_all["extract_conversations"] = extract_conversations
     q_all["curate_documents"] = curate_documents
@@ -137,7 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform", "chat_template", "loss_mask_spans",
         "media_avi_frame_sample", "context_truncate",
         "zip_members", "docx_extract", "latex_strip",
-        "markdown_strip",
+        "markdown_strip", "subtitle_cues", "cues_to_turns",
+        "email_quote_strip",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and
@@ -172,7 +174,7 @@ def oracle_sql() -> dict[str, str]:
                                     layoutops, multimodal, pdfcorpus,
                                     ranking, relational, similarity,
                                     sketches, temporal, textops,
-                                    trainprep, webingest)
+                                    trainprep, transcripts, webingest)
 
     o: dict[str, str] = {}
     o.update(curationops.ORACLES)
@@ -189,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(webingest.ORACLES)
     o.update(trainprep.ORACLES)
     o.update(archives.ORACLES)
+    o.update(transcripts.ORACLES)
     # ordered concat IS SQL-expressible (STRING_AGG ... ORDER BY) — the
     # conversation assembly gets a full oracle (r1 verdict missing #2)
     o["extract_conversations"] = """
