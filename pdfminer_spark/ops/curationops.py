@@ -74,6 +74,52 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_words") >= 1)  # zero-word doc: ratios undefined (ADVICE r4)
 
 
+def code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style code-file quality metrics (Li et al. 2023, "The
+    Stack" filters): per-file line-length statistics (max and mean line
+    length — the published thresholds are max<=1000, mean<=100),
+    alphanumeric-character fraction (>=0.25), and digit fraction; lines
+    here are the corpus's derived 10-word windows (the paragraph_dedup
+    convention for a newline-free test corpus). Fractions and the mean
+    are exact integer e4 half-up micro-units (the corpus_report recipe)
+    so no cross-engine float enters the verdict.
+
+    Scale: pure per-row expressions (HOFs over the split array) on one
+    scan; no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    w = _words()
+    lines = F.transform(_windows(w), lambda ws: F.array_join(ws, " "))
+    lens = F.transform(lines, F.length)
+    base = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines_l"),
+        F.aggregate(lens, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("total_chars"),
+        F.array_max(lens).cast("int").alias("max_line_chars"),
+        F.greatest(F.length("text"), F.lit(1)).cast("long")
+         .alias("text_len"),
+        F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+         .cast("long").alias("n_alnum"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+         .cast("long").alias("n_digit"))
+    e4 = "(%s * 20000 + %s) div (2 * %s)"  # exact half-up e4 ratio
+    return (base.select(
+        "doc_id",
+        F.col("n_lines_l").cast("int").alias("n_lines"),
+        "max_line_chars",
+        F.expr(e4 % ("total_chars", "n_lines_l", "n_lines_l"))
+         .alias("mean_line_chars_e4"),
+        F.expr(e4 % ("n_alnum", "text_len", "text_len"))
+         .alias("alnum_frac_e4"),
+        F.expr(e4 % ("n_digit", "text_len", "text_len"))
+         .alias("digit_frac_e4"))
+        .withColumn(
+            "keep",
+            ((F.col("max_line_chars") < 75)
+             & (F.col("alnum_frac_e4") >= 2500)).cast("int"))
+        .where(F.col("n_lines") >= 1))
+
+
 def line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-line filtering (Raffel et al. 2020, §2.2): split each
     document into lines (10-word windows here), drop lines with fewer
@@ -559,6 +605,39 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
         WHERE LEN(w) >= 1
     """,
+    "code_quality": f"""
+        WITH lined AS (
+          SELECT doc_id,
+                 COUNT(*)::BIGINT AS n_lines_l,
+                 SUM(LENGTH(line))::BIGINT AS total_chars,
+                 MAX(LENGTH(line))::INT AS max_line_chars
+          FROM ({{windows}}) t
+          GROUP BY doc_id
+        ), chars AS (
+          SELECT doc_id,
+                 GREATEST(LENGTH(text), 1)::BIGINT AS text_len,
+                 LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))
+                   ::BIGINT AS n_alnum,
+                 LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+                   ::BIGINT AS n_digit
+          FROM documents
+        )
+        SELECT l.doc_id,
+               n_lines_l::INT AS n_lines,
+               max_line_chars,
+               (total_chars * 20000 + n_lines_l)
+                 // (2 * n_lines_l) AS mean_line_chars_e4,
+               (n_alnum * 20000 + text_len)
+                 // (2 * text_len) AS alnum_frac_e4,
+               (n_digit * 20000 + text_len)
+                 // (2 * text_len) AS digit_frac_e4,
+               (CASE WHEN max_line_chars < 75
+                      AND (n_alnum * 20000 + text_len)
+                          // (2 * text_len) >= 2500
+                     THEN 1 ELSE 0 END)::INT AS keep
+        FROM lined l JOIN chars c ON l.doc_id = c.doc_id
+        WHERE n_lines_l >= 1
+    """.replace("{windows}", _SQL_WINDOWS),
     "line_filter": f"""
         WITH lines AS ({_SQL_WINDOWS}),
         flagged AS (
@@ -779,6 +858,7 @@ QUERIES = {
     "bigram_perplexity": bigram_perplexity,
     "char_entropy": char_entropy,
     "corpus_report": corpus_report,
+    "code_quality": code_quality,
     "line_filter": line_filter,
     "paragraph_dedup": paragraph_dedup,
     "heavy_hitters": heavy_hitters,

@@ -144,7 +144,48 @@ def context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("kept")))
 
 
+_BPE_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting pass of BPE/WordPiece tokenizer training (Sennrich
+    et al. 2016): corpus-wide frequencies of ADJACENT token pairs — the
+    statistic each merge round maximizes. Token here = whitespace word
+    (the corpus convention); production swaps in the current merge
+    vocabulary and re-runs the same plan per round. Top pairs reported
+    under a total (count DESC, a, b) order so the boundary rank is
+    deterministic.
+
+    Scale: one explode of per-row adjacent pairs (expression-level, no
+    Python), ONE map-side-combined aggregation keyed by the pair, and a
+    TakeOrderedAndProject for the top-k — no corpus-wide sort. The pair
+    key space is bounded by vocabulary squared, not corpus size."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
+               " i -> struct(element_at(split(text, ' '), i) as a,"
+               "             element_at(split(text, ' '), i + 1) as b))"),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (d.select(F.explode(pairs).alias("p"))
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(_BPE_TOPK))
+
+
 ORACLES: dict[str, str] = {
+    "bpe_pair_counts": """
+        SELECT a, b, COUNT(*)::BIGINT AS pair_count
+        FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+             UNNEST(RANGE(1, LEN(w))) AS t(i),
+             LATERAL (SELECT w[i] AS a, w[i + 1] AS b) s
+        GROUP BY a, b
+        ORDER BY pair_count DESC, a, b
+        LIMIT 20
+    """,
     "context_truncate": """
         WITH turns AS (
           SELECT 'conv-' || LPAD((doc_id %% 50)::VARCHAR, 4, '0')
@@ -239,6 +280,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "fim_transform": fim_transform,
+    "bpe_pair_counts": bpe_pair_counts,
     "chat_template": chat_template,
     "loss_mask_spans": loss_mask_spans,
     "context_truncate": context_truncate,
