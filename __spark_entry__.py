@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_members", "docx_extract", "latex_strip",
         "markdown_strip", "subtitle_cues", "cues_to_turns",
         "email_quote_strip", "code_quality", "bpe_pair_counts",
+        "audio_zcr_features",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and

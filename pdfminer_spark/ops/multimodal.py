@@ -1122,6 +1122,67 @@ def media_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp3_meta_batches, schema=_MP3_META_SCHEMA)
 
 
+_ZCR_FRAME = 64  # samples per analysis frame
+_ZCR_N_FRAMES = 4
+
+
+def _audio_feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_wav(doc_id: int) -> bytes:
+        import struct
+
+        h = 4 << (doc_id % 3)          # half-period in samples
+        a = 40 + doc_id % 60           # amplitude
+        n = _ZCR_FRAME * _ZCR_N_FRAMES
+        idx = np.arange(n)
+        samples = np.where((idx // h) % 2 == 0, 128 + a, 128 - a) \
+            .astype(np.uint8)
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            m = _decode_wav(build_wav(int(doc_id)))
+            c = m["samples"].reshape(-1).astype(np.int32) - 128
+            for f in range(_ZCR_N_FRAMES):
+                fr = c[f * _ZCR_FRAME:(f + 1) * _ZCR_FRAME]
+                neg = fr < 0
+                zcr = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                rms = int(round(float(np.sqrt(np.mean(fr.astype(np.int64)
+                                                      ** 2)))))
+                rows.append((int(doc_id), f, len(fr), zcr, rms))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "frame_idx", "n_samples", "zcr", "rms"])
+
+
+def audio_zcr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over the REAL WAV decode path — the
+    zero-crossing-rate + RMS-energy pass speech/music pipelines run
+    before segmentation: per document, build an 8-bit PCM square wave
+    executor-side (half-period and amplitude closed-form in doc_id),
+    decode it with ``_decode_wav`` (true RIFF chunk walk), and compute
+    per-64-sample-frame sign-change counts and RMS in vectorized numpy.
+    The DuckDB oracle recomputes both analytically (a square wave of
+    half-period h crossing (64/h - 1) times per aligned frame at
+    constant RMS = amplitude), so a decode or framing slip desyncs the
+    closed form and fails the hash.
+
+    Scale: one map-side stage on the scan partitions; per-row work is a
+    256-sample numpy pass."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the 8-byte doc_id keys to every core BEFORE the decode
+    # (single-file test scans arrive as ONE partition)
+    ids = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
+        _audio_feat_batches,
+        schema="doc_id long, frame_idx int, n_samples int, "
+               "zcr int, rms int")
+
+
 def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL GIF decode under the driver's oracle gate — the
     media_decode_png pattern for the LSB-first LZW path: per document,
@@ -1489,6 +1550,13 @@ ORACLES["media_avi_frame_sample"] = """
     FROM px
 """
 
+ORACLES["audio_zcr_features"] = """
+    SELECT doc_id, i::INT AS frame_idx, 64::INT AS n_samples,
+           (64 // (4 << (doc_id % 3)) - 1)::INT AS zcr,
+           (40 + doc_id % 60)::INT AS rms
+    FROM documents, UNNEST(RANGE(0, 4)) AS t(i)
+"""
+
 ORACLES["media_mp3_meta"] = """
     WITH br AS (
       SELECT * FROM (VALUES (1, 32), (2, 40), (3, 48), (4, 56), (5, 64),
@@ -1527,6 +1595,7 @@ QUERIES = {
     "media_decode_tiff": media_decode_tiff,
     "media_decode_avi": media_decode_avi,
     "media_mp3_meta": media_mp3_meta,
+    "audio_zcr_features": audio_zcr_features,
     "image_dhash": image_dhash,
     "media_avi_frame_sample": media_avi_frame_sample,
 }
