@@ -881,6 +881,36 @@ def payload_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(batches, schema=schema))
 
 
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023, simplified
+    to the uniform-target case): per source domain, token mass and the
+    resampling weight that equalizes the token distribution —
+    weight = target_share / actual_share, reported in exact integer
+    micro-units ((total_tokens * 1e6) div (n_sources * source_tokens))
+    so no cross-engine float enters the mix table. The weight table is
+    what temperature_sample / source_quota_sample consume upstream.
+
+    Scale: ONE map-side-combined exchange keyed by source (domain
+    cardinality, not corpus size), then a one-row total broadcast back
+    over the tiny per-source frame. int64 bound: total_tokens * 1e6
+    holds to ~9e12 tokens; production swaps the constant for the
+    equivalent cross-multiplication at larger scales."""
+    d = _docs(spark, sf_dir)
+    per = (d.select("source",
+                    F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tok"))
+           .groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").alias("source_tokens")))
+    tot = per.agg(F.sum("source_tokens").alias("total_tokens"),
+                  F.count("*").cast("long").alias("n_sources"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "source_tokens",
+                    F.expr("(total_tokens * 1000000)"
+                           " div (n_sources * source_tokens)")
+                     .alias("weight_e6")))
+
+
 ORACLES: dict[str, str] = {
     "shard_assign": """
         WITH b AS (
@@ -971,6 +1001,22 @@ ORACLES: dict[str, str] = {
         FROM idx
     """.format(stride=_CHUNK_STRIDE, size=_CHUNK_TOKENS),
 }
+
+ORACLES["domain_mix"] = """
+    WITH per AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+             SUM(LEN(STRING_SPLIT(text, ' ')))::BIGINT AS source_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(source_tokens)::BIGINT AS total_tokens,
+             COUNT(*)::BIGINT AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, source_tokens,
+           (total_tokens * 1000000) // (n_sources * source_tokens)
+             AS weight_e6
+    FROM per, tot
+"""
 
 ORACLES["decontaminate_spans"] = """
     WITH base AS (
@@ -1406,6 +1452,7 @@ QUERIES = {
     "encoding_repair": encoding_repair,
     "unicode_normalize": unicode_normalize,
     "url_canonicalize": url_canonicalize,
+    "domain_mix": domain_mix,
     "dedup_url": dedup_url,
     "shard_assign": shard_assign,
     "contamination_check": contamination_check,

@@ -176,7 +176,76 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_BPE_TOPK))
 
 
+def conversation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level curation checks for transcript corpora: per
+    conversation, turn count, user-turn count, the opening role, a
+    strict user/assistant alternation verdict, mean turn length (exact
+    integer e4 half-up — the corpus_report recipe), and the keep flag
+    training pipelines filter on (opens with user, alternates, >= 2
+    turns). This is the conversation-table analogue of gopher_quality.
+
+    Scale: ONE exchange — the conv_id window computes the
+    alternation flags and the groupBy on conv_id reuses its
+    partitioning; everything else is expression-level."""
+    t = _conv_turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    flags = t.withColumn(
+        "alt",
+        (prev_role.isNull() | (prev_role != F.col("role"))).cast("int"))
+    agg = flags.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns_l"),
+        F.sum((F.col("role") == "user").cast("int")).cast("int")
+         .alias("n_user"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        (F.sum("alt") == F.count("*")).cast("int").alias("alternates"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"))
+    return (agg.select(
+        "conv_id",
+        F.col("n_turns_l").cast("int").alias("n_turns"),
+        "n_user", "first_role", "alternates",
+        F.expr("(total_chars * 20000 + n_turns_l) div (2 * n_turns_l)")
+         .alias("mean_turn_chars_e4"))
+        .withColumn(
+            "keep",
+            ((F.col("first_role") == "user")
+             & (F.col("alternates") == 1)
+             & (F.col("n_turns") >= 2)).cast("int")))
+
+
 ORACLES: dict[str, str] = {
+    "conversation_quality": """
+        WITH turns AS (
+          SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx,
+                 CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 text
+          FROM documents
+        ), flagged AS (
+          SELECT *,
+                 CASE WHEN LAG(role) OVER w IS NULL
+                        OR LAG(role) OVER w <> role
+                      THEN 1 ELSE 0 END AS alt
+          FROM turns
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               COUNT(*)::INT AS n_turns,
+               SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::INT
+                 AS n_user,
+               ARG_MIN(role, turn_idx) AS first_role,
+               (CASE WHEN SUM(alt) = COUNT(*) THEN 1 ELSE 0 END)::INT
+                 AS alternates,
+               (SUM(LENGTH(text))::BIGINT * 20000 + COUNT(*))
+                 // (2 * COUNT(*)) AS mean_turn_chars_e4,
+               (CASE WHEN ARG_MIN(role, turn_idx) = 'user'
+                      AND SUM(alt) = COUNT(*)
+                      AND COUNT(*) >= 2
+                     THEN 1 ELSE 0 END)::INT AS keep
+        FROM flagged
+        GROUP BY conv_id
+    """,
     "bpe_pair_counts": """
         SELECT a, b, COUNT(*)::BIGINT AS pair_count
         FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
@@ -284,4 +353,5 @@ QUERIES = {
     "chat_template": chat_template,
     "loss_mask_spans": loss_mask_spans,
     "context_truncate": context_truncate,
+    "conversation_quality": conversation_quality,
 }

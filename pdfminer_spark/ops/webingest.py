@@ -597,7 +597,55 @@ def latex_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          schema="doc_id long, stripped string"))
 
 
+def jsonl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion through Catalyst's native JSON parser — the
+    format most LLM corpora actually ship in. Each document becomes a
+    JSON line executor-side (nested meta object, closed-form fields;
+    every 11th line TRUNCATED mid-object to exercise the corrupt-record
+    path), and ``from_json`` — JVM-side Jackson, not Python — must
+    recover the id, nested lang/score, and the exact text. Corrupt
+    lines surface as valid=0 with NULL fields, never an exception.
+
+    Scale: zero exchanges — string build + from_json + field access are
+    all expression-level inside one scan stage; at the lake the same
+    plan reads a raw text source instead of synthesizing the line."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    js = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "meta": {"lang": "en", "score": '),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit('}, "text": "'), F.col("text"), F.lit('"}'))
+    js = F.when(F.col("doc_id") % 11 == 0,
+                F.lit('{"id": ')).otherwise(js)
+    p = F.from_json(
+        js, "id bigint, meta struct<lang:string, score:int>, text string")
+    return d.select(
+        "doc_id",
+        p["id"].isNotNull().cast("int").alias("valid"),
+        p["id"].alias("id"),
+        p["meta"]["lang"].alias("lang"),
+        p["meta"]["score"].alias("score"),
+        F.when(p["id"].isNotNull(),
+               (p["text"] == F.col("text")).cast("int"))
+         .alias("text_roundtrip"))
+
+
 ORACLES: dict[str, str] = {
+    "jsonl_extract": """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END)::INT
+                 AS valid,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE doc_id END AS id,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'en' END AS lang,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE (doc_id % 100)::INT END AS score,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE 1::INT END AS text_roundtrip
+        FROM documents
+    """,
     "latex_strip": """
         SELECT doc_id,
                'Introduction Let hold. ' || text AS stripped
@@ -677,6 +725,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "jsonl_extract": jsonl_extract,
     "warc_records": warc_records,
     "warc_extract": warc_extract,
     "robots_filter": robots_filter,
