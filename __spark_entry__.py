@@ -141,7 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_strip", "subtitle_cues", "cues_to_turns",
         "email_quote_strip", "code_quality", "bpe_pair_counts",
         "audio_zcr_features", "jsonl_extract", "conversation_quality",
-        "domain_mix",
+        "domain_mix", "bpe_train_merges", "seqlen_histogram",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and

@@ -213,7 +213,108 @@ def conversation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("n_turns") >= 2)).cast("int")))
 
 
+_BPE_ROUNDS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016, word-level
+    tokens): ``_BPE_ROUNDS`` rounds of corpus-wide adjacent-pair
+    counting, each followed by greedy left-to-right application of the
+    winning merge before the next count — the actual training loop, not
+    just one counting pass. The merge applies via the double-space
+    trick (every token gap widened to two spaces so one-space-padded
+    pair patterns at adjacent occurrences never overlap), which makes
+    plain REPLACE semantics — leftmost, non-overlapping, identical in
+    Spark and DuckDB — implement exact greedy BPE application.
+
+    Scale: per round, ONE map-side-combined aggregation keyed by the
+    (vocabulary-bounded) pair space plus a 1-row TakeOrdered collect —
+    the same bounded-driver-round-trip shape as lm_perplexity/dsir; the
+    merge application is expression-level inside the next round's scan.
+    Rounds are sequential by nature (each count depends on the previous
+    merge), exactly like production BPE trainers."""
+    cur = _docs(spark, sf_dir).select("text")
+    rows = []
+    for r in range(_BPE_ROUNDS):
+        pairs = F.when(
+            F.size(F.split(F.col("text"), " ")) >= 2,
+            F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
+                   " i -> struct(element_at(split(text, ' '), i) as a,"
+                   "             element_at(split(text, ' '), i + 1)"
+                   "             as b))"),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (cur.select(F.explode(pairs).alias("p"))
+               .select("p.a", "p.b")
+               .groupBy("a", "b").agg(F.count("*").alias("c"))
+               .orderBy(F.desc("c"), "a", "b")
+               .limit(1).collect())  # bounded: exactly one row
+        (a, b, c) = (top[0]["a"], top[0]["b"], int(top[0]["c"]))
+        rows.append((r, a, b, c))
+        spaced = F.concat(F.lit(" "),
+                          F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                          F.lit(" "))
+        merged = F.replace(spaced,
+                           F.lit(" %s  %s " % (a, b)),
+                           F.lit(" %s_%s " % (a, b)))
+        cur = cur.select(
+            F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+             .alias("text"))
+    return spark.createDataFrame(
+        rows, "merge_round int, a string, b string, pair_count bigint")
+
+
+def _bpe_merges_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled-CTE oracle (the pagerank pattern): round r's argmax
+    pair is recomputed from scratch over the text with rounds 0..r-1's
+    merges applied via the same double-space REPLACE."""
+    ctes = ["t0 AS (SELECT text FROM documents)"]
+    sels = []
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS (
+          SELECT w[i] AS a, w[i + 1] AS b, COUNT(*)::BIGINT AS c
+          FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM t{r}),
+               UNNEST(RANGE(1, LEN(w))) AS t(i)
+          GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)""")
+        ctes.append(f"""t{r + 1} AS (
+          SELECT TRIM(REPLACE(REPLACE(
+                   ' ' || REPLACE(t.text, ' ', '  ') || ' ',
+                   ' ' || p.a || '  ' || p.b || ' ',
+                   ' ' || p.a || '_' || p.b || ' '),
+                 '  ', ' ')) AS text
+          FROM t{r} t, p{r} p)""")
+        sels.append(f"SELECT {r}::INT AS merge_round, a, b,"
+                    f" c AS pair_count FROM p{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+def seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram (the packing/batching diagnostic every
+    training-prep pipeline reports): documents bucketed by token count
+    in width-16 bins, with per-bin counts and min/max — the table that
+    sizes pack_sequences' budget and flags truncation exposure.
+
+    Scale: one map-side-combined aggregation on the (tiny) bucket key
+    space; token counting is expression-level in the scan."""
+    d = _docs(spark, sf_dir)
+    return (d.select(F.size(F.split("text", " ")).cast("long")
+                      .alias("n_tok"))
+            .select(F.expr("n_tok div 16").alias("bucket"), "n_tok")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("n_tok").alias("min_tokens"),
+                 F.max("n_tok").alias("max_tokens")))
+
+
 ORACLES: dict[str, str] = {
+    "seqlen_histogram": """
+        SELECT (LEN(STRING_SPLIT(text, ' '))::BIGINT // 16) AS bucket,
+               COUNT(*)::BIGINT AS n_docs,
+               MIN(LEN(STRING_SPLIT(text, ' '))::BIGINT) AS min_tokens,
+               MAX(LEN(STRING_SPLIT(text, ' '))::BIGINT) AS max_tokens
+        FROM documents
+        GROUP BY bucket
+    """,
     "conversation_quality": """
         WITH turns AS (
           SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
@@ -347,9 +448,13 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["bpe_train_merges"] = _bpe_merges_oracle()
+
 QUERIES = {
     "fim_transform": fim_transform,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_train_merges": bpe_train_merges,
+    "seqlen_histogram": seqlen_histogram,
     "chat_template": chat_template,
     "loss_mask_spans": loss_mask_spans,
     "context_truncate": context_truncate,

@@ -61,7 +61,7 @@ def test_queries_lead_with_stale_driver_row_ops():
         "markdown_strip", "subtitle_cues", "cues_to_turns",
         "email_quote_strip", "code_quality", "bpe_pair_counts",
         "audio_zcr_features", "jsonl_extract", "conversation_quality",
-        "domain_mix",
+        "domain_mix", "bpe_train_merges", "seqlen_histogram",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and
