@@ -68,14 +68,16 @@ def test_queries_lead_with_stale_driver_row_ops():
         # the r6-verdict fixes (lm_perplexity cutoffs, dsir, sig_mat)
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
-        "media_features", "media_metadata",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
-        # media_resize / media_frame_sample sit just past the 50-window:
-        # their r7 source change is only new decode_media format
-        # branches their fixed BMP/fake inputs never take (r6 rows stay
-        # representative); the window seats go to dsir_weights /
-        # ann_lsh_pairs whose r7 hunks DO change behavior (cutoff swap,
-        # sig_mat kwarg)
+        # the media_features/metadata/resize/frame_sample family sits
+        # just past the 50-window: their r7 source change is only new
+        # decode_media format branches their fixed BMP/fake inputs
+        # never take (r6 rows stay representative, and the five
+        # in-window media_decode_* queries exercise every new dispatch
+        # branch); the window seats go to lm_perplexity / dsir_weights
+        # / ann_lsh_pairs whose r7 hunks DO change behavior (cutoff
+        # swaps, sig_mat kwarg)
+        "media_features", "media_metadata",
         "media_resize", "media_frame_sample",
         # tier 3 — oldest rows: all 11 r4-stale + the first 5 r5-stale
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
