@@ -103,6 +103,7 @@ def run_headline_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
         "embedding_quantize", "curate_pdf_corpus", "substring_dup_pairs",
         "pagerank", "bm25_scores", "warc_extract",
         "payload_decompress", "media_decode_tiff", "image_dhash",
+        "cues_to_turns", "jsonl_extract",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -173,6 +173,31 @@ AUDITS = [
      "corpus; the driver-fitted idf table enters as a BroadcastHashJoin "
      "build side; tf is one exchange with partial_count map-side "
      "combine; the query-term filter reaches the scan."),
+    ("cues_to_turns",
+     "ONE exchange total: the doc_id window (speaker-change/gap flags, "
+     "running turn index) shuffles once, and the (doc_id, turn_idx) "
+     "groupBy satisfies its clustering from the window's hash(doc_id) "
+     "partitioning — no second exchange for the turn aggregation."),
+    ("bpe_pair_counts",
+     "adjacent-pair explode stays expression-level (no Python); the "
+     "pair aggregation shows partial_count map-side combine around ONE "
+     "exchange; the top-20 is TakeOrderedAndProject, never a global "
+     "sort."),
+    ("code_quality",
+     "ZERO exchanges: every metric (line-length HOFs, alnum/digit "
+     "regex counts, integer e4 ratios) compiles into the single scan "
+     "stage's projection."),
+    ("jsonl_extract",
+     "ZERO exchanges and no Python: the JSON line is built and parsed "
+     "(JsonToStructs, JVM Jackson) inside the one scan stage; corrupt "
+     "records resolve to NULL fields in-plan."),
+    ("domain_mix",
+     "per-source aggregation is ONE map-side-combined exchange on the "
+     "domain key; the corpus total re-enters as a BroadcastNestedLoopJoin "
+     "of a ONE-ROW frame, never a second corpus pass."),
+    ("conversation_quality",
+     "ONE exchange: conv_id window computes alternation flags, the "
+     "conv_id groupBy reuses the window's partitioning."),
 ]
 
 def main() -> None:
