@@ -113,3 +113,37 @@ def test_email_signature_only_exact_delimiter():
     (main, nq) = strip_email_reply("a\n--\nb\n-- \nc\n")
     assert main == "a -- b"
     assert nq == 0
+
+
+def test_parser_fuzz_bounded_failure_modes():
+    """Mutation fuzz: random byte-level edits of valid SRT/VTT payloads
+    must either parse or raise TranscriptError — never hang, never
+    raise anything else (the hostile-input contract every ingestion
+    parser in this repo carries)."""
+    import random
+
+    rng = random.Random(1234)
+    bases = [SRT, VTT]
+    ok = err = 0
+    for trial in range(2000):
+        s = list(rng.choice(bases))
+        for _ in range(rng.randint(1, 6)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(s))
+            ch = chr(rng.randrange(32, 127)) if rng.random() < 0.9 \
+                else rng.choice("\n\r\x00>")
+            if op == 0:
+                s[pos] = ch
+            elif op == 1:
+                s.insert(pos, ch)
+            else:
+                del s[pos]
+        payload = "".join(s)
+        for parse in (parse_srt, parse_vtt):
+            try:
+                parse(payload, max_cues=64)
+                ok += 1
+            except TranscriptError:
+                err += 1
+    assert ok + err == 4000
+    assert ok > 0 and err > 0  # both outcomes actually exercised

@@ -30,7 +30,13 @@ OPS = ["payload_decompress", "encoding_repair", "warc_records",
        "warc_extract", "robots_filter", "html_metadata", "sitemap_urls",
        "image_dhash", "media_decode_tiff", "media_mp3_meta",
        "unicode_normalize", "fim_transform", "chat_template",
-       "loss_mask_spans", "context_truncate", "media_avi_frame_sample"]
+       "loss_mask_spans", "context_truncate", "media_avi_frame_sample",
+       # round-7 part-4 additions: transcript + tokenizer-training layer
+       "subtitle_cues", "cues_to_turns", "email_quote_strip",
+       "code_quality", "bpe_pair_counts", "bpe_train_merges",
+       "seqlen_histogram", "audio_zcr_features", "jsonl_extract",
+       "conversation_quality", "domain_mix", "latex_strip",
+       "markdown_strip", "zip_members", "docx_extract"]
 
 
 def synth_dir(n_docs: int) -> str:
