@@ -139,9 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avi_frame_sample", "context_truncate",
         "zip_members", "docx_extract", "latex_strip",
         "markdown_strip", "subtitle_cues", "cues_to_turns",
-        "email_quote_strip", "code_quality", "bpe_pair_counts",
+        "email_quote_strip", "code_quality",
         "audio_zcr_features", "jsonl_extract", "conversation_quality",
-        "domain_mix", "bpe_train_merges", "seqlen_histogram",
+        "domain_mix", "bpe_train_merges", "feed_entries",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and
@@ -149,6 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
+        # bpe_pair_counts / seqlen_histogram moved to the window
+        # boundary (bpe_pair_counts takes the last in-window seat,
+        # seqlen_histogram the first outside): bpe_train_merges' row
+        # reproves the identical pair statistic as its round 0, and
+        # seqlen_histogram is a two-expression groupBy under full
+        # strict-sweep evidence
+        "bpe_pair_counts", "seqlen_histogram",
         # the media_features/metadata/resize/frame_sample family sits
         # just past the 50-window: their r7 source change is only new
         # decode_media format branches their fixed BMP/fake inputs

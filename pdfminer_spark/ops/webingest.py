@@ -632,7 +632,132 @@ def jsonl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("text_roundtrip"))
 
 
+_MAX_FEED_ENTRIES = 10000
+
+
+def parse_feed(xml_text: str,
+               max_entries: int = _MAX_FEED_ENTRIES) -> dict:
+    """Parse a syndication feed — RSS 2.0 (``<rss><channel><item>``)
+    or Atom (``<feed><entry>``), namespace-agnostic on local names.
+    Links resolve per-format (RSS ``<link>`` text, Atom ``<link
+    href>`` attribute preferring rel="alternate"/unset). Hostile-input
+    bounds: DOCTYPE rejected before parsing (entity bombs), entry cap.
+    """
+    import xml.etree.ElementTree as ET
+
+    if "<!DOCTYPE" in xml_text[:1024].upper():
+        raise WarcError("feed with DOCTYPE rejected")
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise WarcError("malformed feed XML: %s" % e)
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = local(root.tag)
+    if kind == "rss":
+        chans = [c for c in root if local(c.tag) == "channel"]
+        if not chans:
+            raise WarcError("rss without channel")
+        items = [el for el in chans[0] if local(el.tag) == "item"]
+        fmt = "rss"
+    elif kind == "feed":
+        items = [el for el in root if local(el.tag) == "entry"]
+        fmt = "atom"
+    else:
+        raise WarcError("not a feed root: %r" % root.tag)
+    entries = []
+    for el in items:
+        if len(entries) >= max_entries:
+            raise WarcError("feed exceeds entry cap")
+        f: dict[str, str] = {}
+        link = ""
+        for c in el:
+            name = local(c.tag)
+            if name == "link":
+                if fmt == "rss":
+                    link = (c.text or "").strip()
+                elif c.get("rel") in (None, "alternate") and not link:
+                    link = (c.get("href") or "").strip()
+            else:
+                f[name] = (c.text or "").strip()
+        entries.append({
+            "title": f.get("title", ""),
+            "link": link,
+            "entry_id": f.get("guid", f.get("id", "")),
+            "updated": f.get("pubdate", f.get("updated", ""))})
+    return {"fmt": fmt, "entries": entries}
+
+
+def _feed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(doc_id: int) -> str:
+        n = 1 + doc_id % 3
+        if doc_id % 2 == 0:
+            items = "".join(
+                "<item><title>Item %d %d</title>"
+                "<link>https://example.org/f/%d/%d</link>"
+                "<guid>urn:%d:%d</guid>"
+                "<pubDate>Mon, 05 Jan 2026 00:00:0%d GMT</pubDate></item>"
+                % (doc_id, k, doc_id, k, doc_id, k, k) for k in range(n))
+            return ('<?xml version="1.0"?><rss version="2.0"><channel>'
+                    "<title>Feed %d</title>%s</channel></rss>"
+                    % (doc_id, items))
+        items = "".join(
+            '<entry><title>Item %d %d</title>'
+            '<link rel="alternate" href="https://example.org/f/%d/%d"/>'
+            "<id>urn:%d:%d</id>"
+            "<updated>2026-01-05T00:00:0%dZ</updated></entry>"
+            % (doc_id, k, doc_id, k, doc_id, k, k) for k in range(n))
+        return ('<feed xmlns="http://www.w3.org/2005/Atom">'
+                "<title>Feed %d</title>%s</feed>" % (doc_id, items))
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            parsed = parse_feed(build(d))
+            for (k, e) in enumerate(parsed["entries"]):
+                rows.append((d, parsed["fmt"], k, e["title"], e["link"],
+                             e["entry_id"], e["updated"]))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "fmt", "entry_idx", "title", "link", "entry_id",
+            "updated"])
+
+
+def feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion under the driver's oracle gate: each
+    document becomes a synthetic feed (RSS 2.0 for even doc_ids, Atom
+    for odd — item count, links, ids, timestamps closed-form in
+    doc_id) and the parser must recover every entry's exact fields —
+    including the RSS-text vs Atom-href link split and the
+    guid-vs-id / pubDate-vs-updated fallbacks.
+
+    Scale: one map-side stage on the scan partitions."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id")
+            .mapInPandas(
+                _feed_batches,
+                schema="doc_id long, fmt string, entry_idx int, "
+                       "title string, link string, entry_id string, "
+                       "updated string"))
+
+
 ORACLES: dict[str, str] = {
+    "feed_entries": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+               k::INT AS entry_idx,
+               'Item ' || doc_id::VARCHAR || ' ' || k::VARCHAR AS title,
+               'https://example.org/f/' || doc_id::VARCHAR || '/'
+                 || k::VARCHAR AS link,
+               'urn:' || doc_id::VARCHAR || ':' || k::VARCHAR AS entry_id,
+               CASE WHEN doc_id % 2 = 0
+                 THEN 'Mon, 05 Jan 2026 00:00:0' || k::VARCHAR || ' GMT'
+                 ELSE '2026-01-05T00:00:0' || k::VARCHAR || 'Z'
+                 END AS updated
+        FROM documents, UNNEST(RANGE(0, 1 + doc_id % 3)) AS t(k)
+    """,
     "jsonl_extract": """
         SELECT doc_id,
                (CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END)::INT
@@ -731,6 +856,7 @@ QUERIES = {
     "robots_filter": robots_filter,
     "html_metadata": html_metadata,
     "sitemap_urls": sitemap_urls,
+    "feed_entries": feed_entries,
     "latex_strip": latex_strip,
     "markdown_strip": markdown_strip,
 }
