@@ -265,3 +265,40 @@ plain tail"""
                    "note: really works plain tail")
     # strong parses before em: **x** never leaves stray asterisks
     assert strip_markdown("a **b** *c* __d__ _e_") == "a b c d e"
+
+
+def test_parse_feed_rss_and_atom():
+    from pdfminer_spark.ops.webingest import WarcError, parse_feed
+    import pytest
+
+    rss = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+           "<title>T</title>"
+           "<item><title>A</title><link>https://x/a</link>"
+           "<guid>g1</guid><pubDate>D1</pubDate></item>"
+           "<item><title>B</title><link>https://x/b</link></item>"
+           "</channel></rss>")
+    r = parse_feed(rss)
+    assert r["fmt"] == "rss"
+    assert r["entries"][0] == {"title": "A", "link": "https://x/a",
+                               "entry_id": "g1", "updated": "D1"}
+    assert r["entries"][1]["entry_id"] == ""
+
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+            '<entry><title>A</title>'
+            '<link rel="self" href="https://x/self"/>'
+            '<link href="https://x/alt"/>'
+            "<id>i1</id><updated>U1</updated></entry></feed>")
+    a = parse_feed(atom)
+    assert a["fmt"] == "atom"
+    # rel="self" skipped; unset-rel link wins
+    assert a["entries"][0]["link"] == "https://x/alt"
+    assert a["entries"][0]["entry_id"] == "i1"
+
+    with pytest.raises(WarcError):
+        parse_feed("<!DOCTYPE foo [<!ENTITY a 'b'>]><rss/>")
+    with pytest.raises(WarcError):
+        parse_feed("<rss version='2.0'/>")  # no channel
+    with pytest.raises(WarcError):
+        parse_feed("<html/>")
+    with pytest.raises(WarcError):
+        parse_feed(rss.replace("</rss>", ""))  # malformed XML
