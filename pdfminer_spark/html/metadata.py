@@ -84,3 +84,51 @@ def extract_metadata(html: str) -> dict[str, str]:
         description = _clean(p.metas.get("og:description", ""))
     return {"title": title, "description": description,
             "canonical": p.canonical, "lang": p.lang}
+
+
+class _LinkParser(HTMLParser):
+    """Collect ``(href, anchor_text)`` for every ``<a href>`` element;
+    nested anchors close the outer one (the HTML5 tree-builder rule)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = _WS.sub(" ", "".join(self._parts)).strip()
+            self.links.append((self._href, text))
+        self._href = None
+        self._parts = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            if self._href is not None:
+                self._flush()
+            self._href = (dict(attrs).get("href") or "").strip()
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._parts.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_links(html_text: str) -> list[tuple[str, str]]:
+    """All ``(href, anchor_text)`` pairs of a page, document order.
+    Malformed markup degrades to whatever parsed, never an exception."""
+    p = _LinkParser()
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass
+    return p.links

@@ -743,7 +743,68 @@ def feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "updated string"))
 
 
+def _link_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdfminer_spark.html.metadata import extract_links
+
+    def build(src_id: int) -> str:
+        links = "".join(
+            '<p>see <a href="https://example.org/d/%d">a%d %d</a> ok</p>'
+            % (dst, src_id % 5, dst)
+            for dst in ((src_id + 7 * (k + 1)) % 500
+                        for k in range(1 + src_id % 3)))
+        return ('<html><body><nav><a href="/home">Home</a></nav>'
+                "<main>%s</main></body></html>" % links)
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            src = int(doc_id)
+            for (href, anchor) in extract_links(build(src)):
+                if not href.startswith("https://example.org/d/"):
+                    continue  # nav/footer chrome links stay out
+                rows.append((src, int(href.rsplit("/", 1)[-1]), anchor))
+        yield pd.DataFrame(rows, columns=["src", "dst", "anchor"])
+
+
+def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction — the hyperlink extraction + in-degree
+    aggregation pass behind link-based quality signals (Common Crawl's
+    host graph, harmonic centrality, anchor-text mining). Each document
+    becomes a page executor-side (outlinks closed-form in doc_id plus a
+    nav chrome link the href filter must drop), links come out through
+    the REAL HTMLParser-based extractor (``html/metadata.extract_links``
+    — nested-tag text, document order), and per-target in-degree and
+    anchor-text stats aggregate distributively.
+
+    Scale: map-side parse on the scan partitions, then ONE
+    map-side-combined exchange keyed by dst — the edge-list shape
+    pagerank consumes; never a driver-side graph."""
+    d = _docs(spark, sf_dir, parallel=True).select("doc_id")
+    edges = d.mapInPandas(
+        _link_batches, schema="src long, dst long, anchor string")
+    from pyspark.sql import functions as F
+
+    return (edges.groupBy("dst")
+            .agg(F.count("*").alias("in_degree"),
+                 F.countDistinct("anchor").alias("n_anchors"),
+                 F.min("anchor").alias("min_anchor"),
+                 F.max("anchor").alias("max_anchor")))
+
+
 ORACLES: dict[str, str] = {
+    "link_graph": """
+        WITH edges AS (
+          SELECT doc_id AS src,
+                 (doc_id + 7 * (k + 1)) % 500 AS dst,
+                 'a' || (doc_id % 5)::VARCHAR || ' '
+                     || ((doc_id + 7 * (k + 1)) % 500)::VARCHAR AS anchor
+          FROM documents, UNNEST(RANGE(0, 1 + doc_id % 3)) AS t(k)
+        )
+        SELECT dst, COUNT(*)::BIGINT AS in_degree,
+               COUNT(DISTINCT anchor)::BIGINT AS n_anchors,
+               MIN(anchor) AS min_anchor, MAX(anchor) AS max_anchor
+        FROM edges GROUP BY dst
+    """,
     "feed_entries": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
@@ -857,6 +918,7 @@ QUERIES = {
     "html_metadata": html_metadata,
     "sitemap_urls": sitemap_urls,
     "feed_entries": feed_entries,
+    "link_graph": link_graph,
     "latex_strip": latex_strip,
     "markdown_strip": markdown_strip,
 }
