@@ -142,7 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_quote_strip", "code_quality",
         "audio_zcr_features", "jsonl_extract", "conversation_quality",
         "domain_mix", "bpe_train_merges", "feed_entries",
-        "link_graph",
+        "link_graph", "bpe_encode",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and

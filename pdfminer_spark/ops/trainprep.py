@@ -263,6 +263,73 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "merge_round int, a string, b string, pair_count bigint")
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the downstream half of bpe_train_merges:
+    re-fit the ``_BPE_ROUNDS`` merges (same bounded 1-row argmax
+    collects), apply them to every document with the double-space
+    REPLACE chain, and report per-doc token counts before and after —
+    the compression-ratio table a tokenizer rollout is judged on.
+
+    Scale: the fit is bpe_train_merges' shape; the application is pure
+    expression-level REPLACE inside one scan stage (no Python, no
+    exchange beyond the fit's aggregations)."""
+    cur = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens_before"))
+    for _r in range(_BPE_ROUNDS):
+        pairs = F.when(
+            F.size(F.split(F.col("text"), " ")) >= 2,
+            F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
+                   " i -> struct(element_at(split(text, ' '), i) as a,"
+                   "             element_at(split(text, ' '), i + 1)"
+                   "             as b))"),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (cur.select(F.explode(pairs).alias("p"))
+               .select("p.a", "p.b")
+               .groupBy("a", "b").agg(F.count("*").alias("c"))
+               .orderBy(F.desc("c"), "a", "b")
+               .limit(1).collect())  # bounded: exactly one row
+        (a, b) = (top[0]["a"], top[0]["b"])
+        spaced = F.concat(F.lit(" "),
+                          F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                          F.lit(" "))
+        merged = F.replace(spaced,
+                           F.lit(" %s  %s " % (a, b)),
+                           F.lit(" %s_%s " % (a, b)))
+        cur = cur.select(
+            "doc_id", "n_tokens_before",
+            F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+             .alias("text"))
+    return cur.select(
+        "doc_id", "n_tokens_before",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens_after"))
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """doc_id-threaded variant of _bpe_merges_oracle's CTE chain, final
+    select = per-doc before/after token counts."""
+    ctes = ["t0 AS (SELECT doc_id, text FROM documents)"]
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS (
+          SELECT w[i] AS a, w[i + 1] AS b, COUNT(*)::BIGINT AS c
+          FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM t{r}),
+               UNNEST(RANGE(1, LEN(w))) AS t(i)
+          GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)""")
+        ctes.append(f"""t{r + 1} AS (
+          SELECT doc_id, TRIM(REPLACE(REPLACE(
+                   ' ' || REPLACE(t.text, ' ', '  ') || ' ',
+                   ' ' || p.a || '  ' || p.b || ' ',
+                   ' ' || p.a || '_' || p.b || ' '),
+                 '  ', ' ')) AS text
+          FROM t{r} t, p{r} p)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT d.doc_id,
+               LEN(STRING_SPLIT(d.text, ' '))::INT AS n_tokens_before,
+               LEN(STRING_SPLIT(t{rounds}.text, ' '))::INT
+                 AS n_tokens_after
+        FROM documents d JOIN t{rounds} USING (doc_id)""")
+
+
 def _bpe_merges_oracle(rounds: int = _BPE_ROUNDS) -> str:
     """Unrolled-CTE oracle (the pagerank pattern): round r's argmax
     pair is recomputed from scratch over the text with rounds 0..r-1's
@@ -449,11 +516,13 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["bpe_train_merges"] = _bpe_merges_oracle()
+ORACLES["bpe_encode"] = _bpe_encode_oracle()
 
 QUERIES = {
     "fim_transform": fim_transform,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode": bpe_encode,
     "seqlen_histogram": seqlen_histogram,
     "chat_template": chat_template,
     "loss_mask_spans": loss_mask_spans,
