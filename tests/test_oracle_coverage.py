@@ -47,7 +47,7 @@ def test_queries_lead_with_stale_driver_row_ops():
     priority name is a typo that silently drops out of the dict
     comprehension)."""
     expected_head = [
-        # tier 1 — never driver-sampled (every r7 addition): 22 ops
+        # tier 1 — never driver-sampled (every r7 addition): 42 ops
         "bigram_perplexity", "char_entropy", "dedup_url",
         "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
         "cooccurrence_lift", "media_decode_png", "media_decode_gif",
@@ -62,7 +62,7 @@ def test_queries_lead_with_stale_driver_row_ops():
         "email_quote_strip", "code_quality",
         "audio_zcr_features", "jsonl_extract", "conversation_quality",
         "domain_mix", "bpe_train_merges", "feed_entries",
-        "link_graph", "bpe_encode",
+        "link_graph",
         # tier 2 — source changed this round with older rows: the
         # extraction family (truncation flag + boilerplate hints), the
         # media family (decode_media dispatch + bare-key spread), and
@@ -70,13 +70,14 @@ def test_queries_lead_with_stale_driver_row_ops():
         "extract_documents", "extract_conversations", "curate_documents",
         "layout_boxes", "curate_pdf_corpus",
         "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
-        # bpe_pair_counts / seqlen_histogram moved to the window
-        # boundary (bpe_pair_counts takes the last in-window seat,
-        # seqlen_histogram the first outside): bpe_train_merges' row
-        # reproves the identical pair statistic as its round 0, and
-        # seqlen_histogram is a two-expression groupBy under full
-        # strict-sweep evidence
-        "bpe_pair_counts", "seqlen_histogram",
+        # the three BPE-adjacent ops sit first past the window: the
+        # in-window bpe_train_merges row reproves bpe_pair_counts'
+        # statistic verbatim (its round 0) and exercises the same fit
+        # bpe_encode applies (application property-tested vs a
+        # reference merger); seqlen_histogram is a two-expression
+        # groupBy — all three under full strict-sweep + second-
+        # comparator evidence at 3 SFs
+        "bpe_pair_counts", "bpe_encode", "seqlen_histogram",
         # the media_features/metadata/resize/frame_sample family sits
         # just past the 50-window: their r7 source change is only new
         # decode_media format branches their fixed BMP/fake inputs
