@@ -127,61 +127,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_lsh_pairs sig_mat kwarg, and the extraction family behind the
     # interp/layout/pipeline truncation-flag change).
     priority = [
-        # tier 1 — never driver-sampled (every r7 addition): 42 ops
-        "bigram_perplexity", "char_entropy", "dedup_url",
-        "url_canonicalize", "pagerank", "bm25_scores", "shard_assign",
-        "cooccurrence_lift", "media_decode_png", "media_decode_gif",
-        "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
-        "payload_decompress", "warc_records", "warc_extract",
-        "encoding_repair", "robots_filter", "html_metadata",
-        "sitemap_urls", "image_dhash", "unicode_normalize",
-        "fim_transform", "chat_template", "loss_mask_spans",
-        "media_avi_frame_sample", "context_truncate",
-        "zip_members", "docx_extract", "latex_strip",
-        "markdown_strip", "subtitle_cues", "cues_to_turns",
-        "email_quote_strip", "code_quality",
-        "audio_zcr_features", "jsonl_extract", "conversation_quality",
-        "domain_mix", "bpe_train_merges", "feed_entries",
-        "link_graph",
-        # tier 2 — source changed this round with older rows: the
-        # extraction family (truncation flag + boilerplate hints), the
-        # media family (decode_media dispatch + bare-key spread), and
-        # the r6-verdict fixes (lm_perplexity cutoffs, dsir, sig_mat)
-        "extract_documents", "extract_conversations", "curate_documents",
-        "layout_boxes", "curate_pdf_corpus",
-        "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
-        # the three BPE-adjacent ops sit first past the window: the
-        # in-window bpe_train_merges row reproves bpe_pair_counts'
-        # statistic verbatim (its round 0) and exercises the same fit
-        # bpe_encode applies (application property-tested vs a
-        # reference merger); seqlen_histogram is a two-expression
-        # groupBy — all three under full strict-sweep + second-
-        # comparator evidence at 3 SFs
-        "bpe_pair_counts", "bpe_encode", "seqlen_histogram",
-        # the media_features/metadata/resize/frame_sample family sits
-        # just past the 50-window: their r7 source change is only new
-        # decode_media format branches their fixed BMP/fake inputs
-        # never take (r6 rows stay representative, and the five
-        # in-window media_decode_* queries exercise every new dispatch
-        # branch); the window seats go to lm_perplexity / dsir_weights
-        # / ann_lsh_pairs whose r7 hunks DO change behavior (cutoff
-        # swaps, sig_mat kwarg)
-        "media_features", "media_metadata",
-        "media_resize", "media_frame_sample",
-        # tier 3 — oldest rows: all 11 r4-stale + the first 5 r5-stale
+        # FINAL r7 window (50 seats, driver samples first 50):
+        # 12 r4-stale (r6 verdict task #4) + 8 behavior-changed
+        # + 30 of this round's 42 never-sampled additions. With
+        # 119 registered queries the 2-round staleness rule is no
+        # longer satisfiable for every op — displaced ops are
+        # listed below in r8 rotation priority with the evidence
+        # that stands in for their missing driver row.
         "ngram_jaccard_pairs", "doc_fingerprint", "token_count",
         "quality_score", "lang_id", "repetition_filter", "tfidf_keywords",
         "docfreq_boilerplate", "ann_cosine_topk", "embedding_quantize",
-        "embedding_clusters",
+        "embedding_clusters", "dedup_exact", "extract_documents",
+        "extract_conversations", "curate_documents", "layout_boxes",
+        "curate_pdf_corpus", "lm_perplexity", "dsir_weights", "ann_lsh_pairs",
+        "bigram_perplexity", "dedup_url", "url_canonicalize", "pagerank",
+        "bm25_scores", "shard_assign", "media_decode_png", "media_decode_gif",
+        "media_decode_tiff", "media_decode_avi", "media_mp3_meta",
+        "payload_decompress", "warc_extract", "encoding_repair",
+        "robots_filter", "html_metadata", "sitemap_urls", "image_dhash",
+        "fim_transform", "chat_template", "loss_mask_spans", "docx_extract",
+        "subtitle_cues", "cues_to_turns", "code_quality", "jsonl_extract",
+        "conversation_quality", "domain_mix", "bpe_train_merges",
+        "link_graph",
+        # --- past the 50-seat window, in r8 rotation priority ---
+        # The 12 displaced never-sampled ops each ride on an in-window
+        # cousin exercising the same code path: bpe_pair_counts /
+        # bpe_encode share bpe_train_merges' fit (round 0 IS the pair
+        # statistic; application property-tested); zip_members is the
+        # ZIP walk under docx_extract; warc_records parses inside
+        # warc_extract's chain; media_avi_frame_sample seeks over
+        # media_decode_avi's chunk index; audio_zcr_features decodes
+        # through the media-family _decode_wav; latex/markdown/email
+        # strips, char_entropy, unicode_normalize, context_truncate,
+        # cooccurrence_lift, seqlen_histogram, feed_entries are
+        # single-stage closed-form ops — all under strict sweeps at
+        # 3 SFs, the second comparator, and unit tests.
+        "bpe_pair_counts", "bpe_encode", "seqlen_histogram", "latex_strip",
+        "markdown_strip", "zip_members", "email_quote_strip",
+        "audio_zcr_features", "feed_entries", "char_entropy",
+        "unicode_normalize", "warc_records", "media_avi_frame_sample",
+        "cooccurrence_lift", "context_truncate", "media_features",
+        "media_metadata", "media_resize", "media_frame_sample",
         "dedup_minhash_buckets", "dedup_minhash_pairs", "pii_scrub",
-        "contamination_check", "stratified_sample",
-        # past the 50-sample window (tier-1 grew to 27 with the late
-        # additions, so ALL 13 r5-row ops now sit outside it): source
-        # unchanged — r8 MUST rotate these into its head (they will be
-        # 3 rounds stale)
-        "pack_chunks", "normalize_text", "pack_sequences",
-        "temperature_sample", "decontaminate_spans", "conversation_pack",
-        "holdout_split", "turn_role_stats",
+        "contamination_check", "stratified_sample", "pack_chunks",
+        "normalize_text", "pack_sequences", "temperature_sample",
+        "decontaminate_spans", "conversation_pack", "holdout_split",
+        "turn_role_stats",
     ]
     q = {name: q_all[name] for name in priority if name in q_all}
     q.update(q_all)
