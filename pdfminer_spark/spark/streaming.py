@@ -148,3 +148,65 @@ def conversation_progress_query(spark: SparkSession, input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def turn_merge_query(spark: SparkSession, input_path: str,
+                     output_path: str, checkpoint_path: str,
+                     available_now: bool = False):
+    """Stateful streaming turn segmentation — the continuous-ingest
+    analogue of ops/transcripts.cues_to_turns: consecutive same-role
+    turns of a conversation merge into one segment as micro-batches
+    arrive. Per-key state carries only the OPEN trailing segment
+    (role, first turn_idx, turn count, joined text); a role change
+    closes and emits the previous segment, so each row is emitted at
+    most once and state is O(1) per conversation. The fixture streams
+    are finite so no timeout is set; production bounds the open
+    segment with an event-time timeout exactly like dedup_stream.
+    Within a batch rows are processed in turn_idx order (the stable
+    turn ordering of the north rule)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_path)
+
+    out_schema = ("conv_id string, seg_start_turn long, n_turns long, "
+                  "role string, text string")
+    state_schema = ("role string, seg_start_turn long, n_turns long, "
+                    "text string")
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        (role, start, n, text) = (state.get if state.exists
+                                  else (None, -1, 0, ""))
+        emitted = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("turn_idx")
+        for (turn_idx, r, t) in zip(rows["turn_idx"], rows["role"],
+                                    rows["text"]):
+            if role == r:
+                n += 1
+                text = text + " " + str(t)
+            else:
+                if role is not None:
+                    emitted.append((conv_id, start, n, role, text))
+                (role, start, n, text) = (str(r), int(turn_idx), 1, str(t))
+        state.update((role, start, n, text))
+        yield pd.DataFrame(emitted, columns=[
+            "conv_id", "seg_start_turn", "n_turns", "role", "text"])
+
+    merged = (
+        stream.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )
+    writer = (
+        merged.writeStream
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

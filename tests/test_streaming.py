@@ -160,3 +160,41 @@ def test_turn_rate_watermarked_window_drops_late(spark, tmp_path):
     # the 10:00 window emitted exactly once with the ON-TIME count (3);
     # the late 10:05 row was dropped, the 12:00 window is still open
     assert by_window == {(10, "conv-a"): 3}
+
+
+def test_turn_merge_stateful_segments(spark, tmp_path):
+    """Streaming cues_to_turns: consecutive same-role turns merge into
+    segments across micro-batch boundaries; a role change closes the
+    open segment, which emits exactly once."""
+    from pdfminer_spark.spark.streaming import turn_merge_query
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("append").parquet(in_dir)
+
+    # batch 1: u,u,a -> the u-run closes when 'a' arrives; 'a' stays open
+    _write([("c1", 0, "user", "t0", "", "2026-01-01 10:00:00"),
+            ("c1", 1, "user", "t1", "", "2026-01-01 10:01:00"),
+            ("c1", 2, "assistant", "t2", "", "2026-01-01 10:02:00")])
+    q = turn_merge_query(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    # batch 2: 'a' extends the open segment from state, then 'u' closes it
+    _write([("c1", 3, "assistant", "t3", "", "2026-01-01 10:03:00"),
+            ("c1", 4, "user", "t4", "", "2026-01-01 10:04:00")])
+    q = turn_merge_query(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    rows = sorted(spark.read.parquet(out_dir).collect(),
+                  key=lambda r: r["seg_start_turn"])
+    segs = [(r["seg_start_turn"], r["n_turns"], r["role"], r["text"])
+            for r in rows]
+    assert segs == [(0, 2, "user", "t0 t1"),
+                    (2, 2, "assistant", "t2 t3")]
+    # the trailing (4, user) segment is still open in state — not emitted
