@@ -322,7 +322,118 @@ def email_quote_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "n_quoted_lines int"))
 
 
+def tool_call_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call span extraction from agent transcripts — the parse
+    that populates the north-rule input's ``tool`` column: assistant
+    turns may embed a ``<tool_call>{json}</tool_call>`` span; the op
+    pulls the span with a JVM regexp and parses it with Catalyst's
+    ``from_json`` (nested args struct), emitting the tool name, an
+    argument, and a validity verdict — no Python anywhere.
+
+    Every third document's assistant text carries a call (closed-form
+    payload), the rest none; a malformed-span case (every 15th doc:
+    unterminated JSON) must surface as has_call=1/valid=0, never an
+    exception.
+
+    Scale: zero exchanges — regexp + from_json + field access inside
+    the one scan stage."""
+    from pyspark.sql import functions as F
+
+    from .textops import _docs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    payload = F.concat(
+        F.lit('{"name": "search", "args": {"q": "doc '),
+        F.col("doc_id").cast("string"), F.lit('", "k": '),
+        (F.col("doc_id") % 5).cast("string"), F.lit("}}"))
+    payload = F.when(F.col("doc_id") % 15 == 0,
+                     F.lit('{"name": "search"')).otherwise(payload)
+    turn = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" <tool_call>"), payload,
+                 F.lit("</tool_call>"))).otherwise(F.col("text"))
+    span = F.regexp_extract(turn, r"<tool_call>(.*?)</tool_call>", 1)
+    p = F.from_json(span,
+                    "name string, args struct<q:string, k:int>")
+    has_call = (span != "").cast("int")
+    valid = F.when(span == "", F.lit(None).cast("int"))         .otherwise(p["name"].isNotNull().cast("int"))
+    return d.select(
+        "doc_id",
+        has_call.alias("has_call"),
+        valid.alias("valid"),
+        F.when(valid == 1, p["name"]).alias("tool_name"),
+        F.when(valid == 1, p["args"]["k"]).alias("arg_k"))
+
+
+def turn_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation response-latency statistics over the transcript
+    view — the operational dashboard an agent pipeline reports: for
+    every assistant turn, latency = its event time minus the previous
+    turn's; per conversation, response count, exact integer-microsecond
+    mean (half-up, the corpus_report recipe), and max. Event times are
+    closed-form in (conv, turn_idx) with a +5 s stall injected before
+    turn 3 so mean and max genuinely differ.
+
+    Scale: ONE exchange — the conv_id window computes the lag, the
+    conv_id groupBy reuses its partitioning."""
+    from pyspark.sql import functions as F
+
+    from .trainprep_shared import conv_turns_with_ts
+
+    t = conv_turns_with_ts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (F.col("ts_us") - F.lag("ts_us").over(w)).alias("latency_us")
+    r = (t.withColumn("latency_us", lat)
+         .where((F.col("role") == "assistant")
+                & F.col("latency_us").isNotNull()))
+    agg = r.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.sum("latency_us").alias("sum_us"),
+        F.max("latency_us").alias("max_latency_us"))
+    return agg.select(
+        "conv_id", "n_responses",
+        F.expr("(sum_us * 2 + n_responses) div (2 * n_responses)")
+         .alias("mean_latency_us"),
+        "max_latency_us")
+
+
 ORACLES: dict[str, str] = {
+    "tool_call_extract": """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT
+                 AS has_call,
+               CASE WHEN doc_id % 3 <> 0 THEN NULL
+                    WHEN doc_id % 15 = 0 THEN 0 ELSE 1 END::INT AS valid,
+               CASE WHEN doc_id % 3 = 0 AND doc_id % 15 <> 0
+                    THEN 'search' END AS tool_name,
+               CASE WHEN doc_id % 3 = 0 AND doc_id % 15 <> 0
+                    THEN (doc_id % 5)::INT END AS arg_k
+        FROM documents
+    """,
+    "turn_latency_stats": """
+        WITH turns AS (
+          SELECT 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0') AS conv_id,
+                 (doc_id // 50)::INT AS turn_idx,
+                 CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 ((doc_id // 50) * (60 + doc_id % 50 % 10) * 1000000
+                  + CASE WHEN doc_id // 50 = 3 THEN 5000000
+                         ELSE 0 END)::BIGINT AS ts_us
+          FROM documents
+        ), lagd AS (
+          SELECT conv_id, turn_idx, role,
+                 ts_us - LAG(ts_us) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS latency_us
+          FROM turns
+        )
+        SELECT conv_id, COUNT(*)::BIGINT AS n_responses,
+               (SUM(latency_us)::BIGINT * 2 + COUNT(*)) // (2 * COUNT(*))
+                 AS mean_latency_us,
+               MAX(latency_us) AS max_latency_us
+        FROM lagd
+        WHERE role = 'assistant' AND latency_us IS NOT NULL
+        GROUP BY conv_id
+    """,
     "subtitle_cues": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
@@ -386,6 +497,8 @@ ORACLES["cues_to_turns"] = """
 
 QUERIES = {
     "subtitle_cues": subtitle_cues,
+    "tool_call_extract": tool_call_extract,
+    "turn_latency_stats": turn_latency_stats,
     "cues_to_turns": cues_to_turns,
     "email_quote_strip": email_quote_strip,
 }
