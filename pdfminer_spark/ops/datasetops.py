@@ -911,6 +911,78 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("weight_e6")))
 
 
+def nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes over the documents table —
+    the quality/domain-classifier shape (CCNet's LM bucketing and
+    fastText-style source classifiers are this plan with bigger
+    feature maps): train token-given-class and class-prior statistics
+    with ONE aggregation each, fit the add-1-smoothed integer log
+    table DRIVER-side with CPython math.log (the lm_perplexity/dsir
+    precedent — Spark's fdlibm F.log differs from glibc by an ulp at
+    FLOOR boundaries), broadcast the (token, class, lp6) table back,
+    and argmax-score every document with a sum aggregation. All
+    arithmetic after the table fit is exact BIGINT.
+
+    Tie rule: max (score6, class) lexicographic — identical struct-max
+    semantics in Spark and (ORDER BY score6 DESC, class DESC LIMIT 1)
+    in the oracle.
+
+    Scale: the trained table is |vocabulary| x |classes| rows —
+    bounded by the feature space, never the corpus (broadcast build
+    side); scoring is one explode + broadcast join + ONE
+    map-side-combined aggregation keyed by (doc, class), then a
+    groupBy(doc) struct-max. The driver round-trip is the bounded
+    table, not data."""
+    import math
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    # training statistics: one aggregation each, all tiny outputs
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("n_tc")).collect()
+    cls = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")).collect()
+    vocab = sorted({r["tok"] for r in tc})
+    v = len(vocab)
+    n_total = sum(r["n_docs"] for r in cls)
+    tok_counts = {(r["source"], r["tok"]): r["n_tc"] for r in tc}
+    cls_tokens = {}
+    for r in tc:
+        cls_tokens[r["source"]] = cls_tokens.get(r["source"], 0) + r["n_tc"]
+
+    def lp6(num: int, den: int) -> int:
+        return (math.floor(math.log(num) * 1e6)
+                - math.floor(math.log(den) * 1e6))
+
+    rows = []
+    for c in sorted(cls_tokens):
+        den = cls_tokens[c] + v
+        for t in vocab:
+            rows.append((c, t,
+                         lp6(tok_counts.get((c, t), 0) + 1, den)))
+    table = spark.createDataFrame(
+        rows, "cls string, tok string, lp6 long")
+    priors = spark.createDataFrame(
+        [(r["source"], lp6(int(r["n_docs"]), n_total)) for r in cls],
+        "cls string, prior6 long")
+
+    scored = (toks.join(F.broadcast(table), "tok")
+              .groupBy("doc_id", "cls")
+              .agg(F.sum("lp6").alias("s6"))
+              .join(F.broadcast(priors), "cls")
+              .select("doc_id", "cls",
+                      (F.col("s6") + F.col("prior6")).alias("score6")))
+    best = (scored.groupBy("doc_id")
+            .agg(F.max(F.struct("score6", "cls")).alias("b")))
+    return (best.join(d.select("doc_id", "source"), "doc_id")
+            .select("doc_id",
+                    F.col("b")["cls"].alias("predicted"),
+                    F.col("b")["score6"].alias("score6"),
+                    (F.col("b")["cls"] == F.col("source")).cast("int")
+                     .alias("correct")))
+
+
 ORACLES: dict[str, str] = {
     "shard_assign": """
         WITH b AS (
@@ -1016,6 +1088,52 @@ ORACLES["domain_mix"] = """
            (total_tokens * 1000000) // (n_sources * source_tokens)
              AS weight_e6
     FROM per, tot
+"""
+
+ORACLES["nb_classifier"] = """
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT source AS cls, tok, COUNT(*)::BIGINT AS n_tc
+      FROM toks GROUP BY source, tok
+    ), vocab AS (SELECT DISTINCT tok FROM toks),
+    classes AS (
+      SELECT source AS cls, COUNT(*)::BIGINT AS n_docs
+      FROM documents GROUP BY source
+    ), cls_tok AS (
+      SELECT cls, SUM(n_tc)::BIGINT AS n_c FROM tc GROUP BY cls
+    ), tbl AS (
+      SELECT ct.cls, vv.tok,
+             (FLOOR(LN(COALESCE(t.n_tc, 0) + 1) * 1000000)
+              - FLOOR(LN(ct.n_c + (SELECT COUNT(*) FROM vocab))
+                      * 1000000))::BIGINT AS lp6
+      FROM cls_tok ct CROSS JOIN vocab vv
+      LEFT JOIN tc t ON t.cls = ct.cls AND t.tok = vv.tok
+    ), priors AS (
+      SELECT cls,
+             (FLOOR(LN(n_docs) * 1000000)
+              - FLOOR(LN((SELECT SUM(n_docs) FROM classes))
+                      * 1000000))::BIGINT AS prior6
+      FROM classes
+    ), scored AS (
+      SELECT k.doc_id, tbl.cls,
+             SUM(tbl.lp6)::BIGINT + ANY_VALUE(p.prior6) AS score6
+      FROM toks k
+      JOIN tbl ON tbl.tok = k.tok
+      JOIN priors p ON p.cls = tbl.cls
+      GROUP BY k.doc_id, tbl.cls
+    ), best AS (
+      SELECT doc_id, cls AS predicted, score6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score6 DESC, cls DESC) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, b.predicted, b.score6,
+           (CASE WHEN b.predicted = d.source THEN 1 ELSE 0 END)::INT
+             AS correct
+    FROM best b JOIN documents d ON b.doc_id = d.doc_id
+    WHERE rn = 1
 """
 
 ORACLES["decontaminate_spans"] = """
@@ -1453,6 +1571,7 @@ QUERIES = {
     "unicode_normalize": unicode_normalize,
     "url_canonicalize": url_canonicalize,
     "domain_mix": domain_mix,
+    "nb_classifier": nb_classifier,
     "dedup_url": dedup_url,
     "shard_assign": shard_assign,
     "contamination_check": contamination_check,
