@@ -1005,6 +1005,59 @@ _BANDS_CTE = _MINHASH_SIG_CTE + """, bands AS (
 """ % "\n      UNION ALL\n      ".join(
     "SELECT doc_id, %s AS band FROM sigs" % _BAND_SQL(j) for j in range(_BANDS))
 
+_WINNOW_K = 4  # k-gram size (tokens)
+_WINNOW_W = 5  # winnowing window (hashes)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every K-token gram, slide a W-hash window, keep
+    each window's MINIMUM hash — rightmost occurrence on ties, the
+    paper's rule — and emit the distinct selected (position, hash)
+    pairs per document. Guarantees every match of length >= K+W-1
+    shares a fingerprint, at ~2/(W+1) density — the local fingerprint
+    family's answer to full-content hashing (dedup_exact) and global
+    sketches (minhash).
+
+    Cross-engine hash: first 8 hex chars of md5 of the space-joined
+    gram (the _hex2long / _hex2int_sql recipe).
+
+    Scale: pure per-row HOFs over once-materialized arrays (the
+    arrays_zip/slice discipline), one explode of the selected
+    fingerprints, one distinct — shuffle keyed by (doc, pos, hash),
+    uniform by construction."""
+    d = _docs(spark, sf_dir, parallel=True).select("doc_id", "text")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = F.when(
+        n >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), n - _WINNOW_K),
+            lambda i: _hex2long(
+                F.md5(F.array_join(
+                    F.slice("w", i + 1, _WINNOW_K), " ")), 1)),
+    ).otherwise(F.array().cast("array<long>"))
+    g = w.select("doc_id", grams.alias("h"))
+    m = F.size("h")
+    sel = F.when(
+        m >= _WINNOW_W,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), m - _WINNOW_W),
+            lambda i: F.struct(
+                (i + _WINNOW_W
+                 - F.array_position(
+                     F.reverse(F.slice("h", i + 1, _WINNOW_W)),
+                     F.array_min(F.slice("h", i + 1, _WINNOW_W)))
+                 ).cast("int").alias("pos"),
+                F.array_min(F.slice("h", i + 1, _WINNOW_W))
+                 .alias("hash")))),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,hash:long>>"))
+    return (g.select("doc_id", F.explode(sel).alias("fp"))
+            .select("doc_id", "fp.pos", "fp.hash")
+            .distinct())
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT MD5(text) AS content_hash,
@@ -1399,6 +1452,34 @@ ORACLES["dedup_incremental"] = _BANDS_CTE + """, cand AS (
     WHERE d.doc_id % 10 = 9
 """
 
+ORACLES["winnow_fingerprints"] = """
+    WITH grams AS (
+      SELECT doc_id, i::INT AS gpos,
+             %(h8)s AS h
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+            FROM documents),
+           UNNEST(RANGE(0, GREATEST(LEN(w) - 3, 0))) AS t(i),
+           LATERAL (SELECT MD5(ARRAY_TO_STRING(w[i + 1 : i + 4], ' '))
+                    AS hx) s
+    ), counts AS (
+      SELECT doc_id, MAX(gpos) + 1 AS ng FROM grams GROUP BY doc_id
+    ), winidx AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, GREATEST(ng - 4, 0))) AS win
+      FROM counts
+    ), wins AS (
+      SELECT g.doc_id, wi.win, g.gpos, g.h,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.doc_id, wi.win
+               ORDER BY g.h ASC, g.gpos DESC) AS rn
+      FROM winidx wi
+      JOIN grams g ON g.doc_id = wi.doc_id
+                  AND g.gpos BETWEEN wi.win AND wi.win + 4
+    )
+    SELECT DISTINCT doc_id, gpos AS pos, h AS hash
+    FROM wins WHERE rn = 1
+""" % {"h8": _hex2int_sql("hx", 1, 8)}
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -1411,6 +1492,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprints": winnow_fingerprints,
     "token_count": token_count,
     "quality_score": quality_score,
     "lang_id": lang_id,
