@@ -791,7 +791,190 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("anchor").alias("max_anchor")))
 
 
+def _table_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from html.parser import HTMLParser
+
+    class _TableParser(HTMLParser):
+        """Collect (row_idx, col_idx, is_header, text) cells of the
+        FIRST <table>; nested inline tags contribute their text."""
+
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.cells: list[tuple[int, int, int, str]] = []
+            self._row = -1
+            self._col = -1
+            self._in_cell = False
+            self._header = 0
+            self._parts: list[str] = []
+            self._done = False
+            self._depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if self._done:
+                return
+            if tag == "table":
+                self._depth += 1
+            elif self._depth == 1:
+                if tag == "tr":
+                    self._row += 1
+                    self._col = -1
+                elif tag in ("td", "th"):
+                    self._col += 1
+                    self._in_cell = True
+                    self._header = 1 if tag == "th" else 0
+                    self._parts = []
+
+        def handle_endtag(self, tag):
+            if tag in ("td", "th") and self._in_cell:
+                import re as _re
+
+                text = _re.sub(r"\s+", " ",
+                               "".join(self._parts)).strip()
+                self.cells.append(
+                    (self._row, self._col, self._header, text))
+                self._in_cell = False
+            elif tag == "table" and self._depth:
+                self._depth -= 1
+                if self._depth == 0:
+                    self._done = True
+
+        def handle_data(self, data):
+            if self._in_cell:
+                self._parts.append(data)
+
+    def build(doc_id: int) -> str:
+        rows = 2 + doc_id % 3
+        cols = 2 + doc_id % 2
+        head = "".join("<th>h%d</th>" % j for j in range(cols))
+        body = "".join(
+            "<tr>" + "".join(
+                "<td>r%dc%d <b>%d</b></td>" % (i, j, doc_id)
+                for j in range(cols)) + "</tr>"
+            for i in range(rows))
+        return ("<html><body><p>chrome</p><table><tr>%s</tr>%s</table>"
+                "<table><tr><td>second table ignored</td></tr></table>"
+                "</body></html>" % (head, body))
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _TableParser()
+            p.feed(build(d))
+            for (r, c, h, t) in p.cells:
+                rows.append((d, r, c, h, t))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "row_idx", "col_idx", "is_header", "cell"])
+
+
+def dom_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction — the structured-data sibling of the
+    boilerplate stripper (web corpora mine tables for QA/tabular
+    training sets): each document becomes a page with a header + body
+    table (dimensions closed-form in doc_id, inline tags inside cells,
+    a SECOND table that must be ignored, surrounding chrome), and the
+    real HTMLParser-based walker must recover every cell's (row, col,
+    header flag, de-tagged text).
+
+    Scale: one map-side stage on the scan partitions."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id")
+            .mapInPandas(
+                _table_batches,
+                schema="doc_id long, row_idx int, col_idx int, "
+                       "is_header int, cell string"))
+
+
+_FM_RE = None  # front matter is line-structured; no regex needed
+
+
+def parse_front_matter(text: str) -> tuple[dict, str]:
+    """Split a Markdown document into (front-matter dict, body): the
+    YAML-subset block delimited by ``---`` lines at the very start —
+    plain ``key: value`` pairs only (the GitHub-pages convention);
+    anything else is treated as no front matter."""
+    if not text.startswith("---\n"):
+        return ({}, text)
+    end = text.find("\n---\n", 4)
+    if end < 0:
+        return ({}, text)
+    fields: dict[str, str] = {}
+    for line in text[4:end].split("\n"):
+        (k, sep, v) = line.partition(":")
+        if not sep or not k.strip() or " " in k.strip():
+            return ({}, text)  # not simple YAML -> no front matter
+        fields[k.strip()] = v.strip()
+    return (fields, text[end + 5:])
+
+
+def _fm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(doc_id: int, text: str) -> str:
+        return ("---\n"
+                "title: Doc %d\n"
+                "tags: a%d\n"
+                "draft: %s\n"
+                "---\n%s" % (doc_id, doc_id % 3,
+                              "true" if doc_id % 2 else "false", text))
+
+    for pdf in it:
+        rows = []
+        for (doc_id, text) in zip(pdf["doc_id"], pdf["text"]):
+            d = int(doc_id)
+            (fm, body) = parse_front_matter(build(d, text))
+            rows.append((d, len(fm), fm.get("title", ""),
+                         fm.get("tags", ""), fm.get("draft", ""),
+                         int(body == text)))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "n_keys", "title", "tags", "draft",
+            "body_roundtrip"])
+
+
+def frontmatter_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown front-matter extraction (the GitHub-pages/docs-corpora
+    metadata step): each document gains a closed-form ``---``-delimited
+    key:value block; the parser must recover every field and the exact
+    body.
+
+    Scale: one map-side stage on the scan partitions."""
+    return (_docs(spark, sf_dir, parallel=True)
+            .select("doc_id", "text")
+            .mapInPandas(
+                _fm_batches,
+                schema="doc_id long, n_keys int, title string, "
+                       "tags string, draft string, body_roundtrip int"))
+
+
 ORACLES: dict[str, str] = {
+    "dom_table_extract": """
+        WITH dims AS (
+          SELECT doc_id, (2 + doc_id % 3)::INT AS nrows,
+                 (2 + doc_id % 2)::INT AS ncols
+          FROM documents
+        ), hdr AS (
+          SELECT doc_id, 0 AS row_idx, j::INT AS col_idx, 1 AS is_header,
+                 'h' || j::VARCHAR AS cell
+          FROM dims, UNNEST(RANGE(0, ncols)) AS t(j)
+        ), body AS (
+          SELECT doc_id, (i + 1)::INT AS row_idx, j::INT AS col_idx,
+                 0 AS is_header,
+                 'r' || i::VARCHAR || 'c' || j::VARCHAR || ' '
+                     || doc_id::VARCHAR AS cell
+          FROM dims, UNNEST(RANGE(0, nrows)) AS t(i),
+               UNNEST(RANGE(0, ncols)) AS u(j)
+        )
+        SELECT doc_id, row_idx, col_idx, is_header::INT AS is_header,
+               cell
+        FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body)
+    """,
+    "frontmatter_extract": """
+        SELECT doc_id, 3::INT AS n_keys,
+               'Doc ' || doc_id::VARCHAR AS title,
+               'a' || (doc_id % 3)::VARCHAR AS tags,
+               CASE WHEN doc_id % 2 = 1 THEN 'true' ELSE 'false' END
+                 AS draft,
+               1::INT AS body_roundtrip
+        FROM documents
+    """,
     "link_graph": """
         WITH edges AS (
           SELECT doc_id AS src,
@@ -919,6 +1102,8 @@ QUERIES = {
     "sitemap_urls": sitemap_urls,
     "feed_entries": feed_entries,
     "link_graph": link_graph,
+    "dom_table_extract": dom_table_extract,
+    "frontmatter_extract": frontmatter_extract,
     "latex_strip": latex_strip,
     "markdown_strip": markdown_strip,
 }
