@@ -397,7 +397,131 @@ def turn_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_latency_us")
 
 
+_CONV_KEY_DF_CAP = 8     # drop turn-keys present in more conversations
+_CONV_JACCARD_MIN = 500  # e4: report pairs with J >= 0.05
+
+
+def conversation_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup detection — the transcript analogue
+    of document minhash: each conversation becomes its SET of turn
+    keys (hash of the turn's leading bigram — the shingle that
+    tolerates paraphrased tails), keys present in more than
+    ``_CONV_KEY_DF_CAP`` conversations drop as boilerplate (the
+    ExactSubstr df-cap discipline — it also bounds the bucket join's
+    per-key fan-out), candidate pairs come from a self-join on shared
+    keys, and exact set Jaccard in integer e4 gates the report.
+
+    Scale: the pair space is bounded by the df cap (<= C(8,2) pairs
+    per key), never |convs|^2; set sizes travel as two small
+    aggregates; everything is exchanges on uniform hash keys."""
+    from pyspark.sql import functions as F
+
+    from .textops import _docs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    turns = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 4, "0"))
+         .alias("conv_id"),
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)))
+         .alias("key")).distinct()
+    df_ok = (turns.groupBy("key")
+             .agg(F.countDistinct("conv_id").alias("df"))
+             .where(F.col("df") <= _CONV_KEY_DF_CAP))
+    kept = turns.join(df_ok.select("key"), "key")
+    sizes = kept.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_keys"))
+    pairs = (kept.alias("a")
+             .join(kept.alias("b"), "key")
+             .where(F.col("a.conv_id") < F.col("b.conv_id"))
+             .groupBy(F.col("a.conv_id").alias("conv_a"),
+                      F.col("b.conv_id").alias("conv_b"))
+             .agg(F.count("*").cast("long").alias("shared")))
+    out = (pairs
+           .join(sizes.withColumnRenamed("conv_id", "conv_a")
+                 .withColumnRenamed("n_keys", "na"), "conv_a")
+           .join(sizes.withColumnRenamed("conv_id", "conv_b")
+                 .withColumnRenamed("n_keys", "nb"), "conv_b")
+           .select("conv_a", "conv_b", "shared",
+                   F.expr("(shared * 20000 + (na + nb - shared))"
+                          " div (2 * (na + nb - shared))")
+                    .alias("jaccard_e4")))
+    return out.where(F.col("jaccard_e4") >= _CONV_JACCARD_MIN)
+
+
+def transcript_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row transcript-corpus dashboard (the corpus_report pattern
+    over the conversation table): conversation count, the
+    conversation_quality keep rate and tool-call rate in exact integer
+    e4, response totals and worst latency, and the near-dup pair count
+    — the numbers a curation run reports before training starts. Every
+    figure is the one-row aggregate of a registered op, so the
+    dashboard is consistent with the gates by construction.
+
+    Scale: four one-row aggregates crossJoin-broadcast together —
+    plan cost is the component ops' cost, the join adds nothing."""
+    from pyspark.sql import functions as F
+
+    from .trainprep import conversation_quality
+
+    cq = conversation_quality(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.sum("keep").cast("long").alias("n_keep"))
+    tool = tool_call_extract(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("has_call").cast("long").alias("n_calls"))
+    lat = turn_latency_stats(spark, sf_dir).agg(
+        F.sum("n_responses").cast("long").alias("total_responses"),
+        F.max("max_latency_us").alias("worst_latency_us"))
+    nd = conversation_near_dups(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("near_dup_pairs"))
+    e4 = "(%s * 20000 + %s) div (2 * %s)"
+    return (cq.crossJoin(F.broadcast(tool))
+            .crossJoin(F.broadcast(lat))
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "n_convs",
+                F.expr(e4 % ("n_keep", "n_convs", "n_convs"))
+                 .alias("keep_rate_e4"),
+                F.expr(e4 % ("n_calls", "n_docs", "n_docs"))
+                 .alias("tool_call_rate_e4"),
+                "total_responses", "worst_latency_us",
+                "near_dup_pairs"))
+
+
 ORACLES: dict[str, str] = {
+    "conversation_near_dups": """
+        WITH turns AS (
+          SELECT DISTINCT
+                 'conv-' || LPAD((doc_id % 50)::VARCHAR, 4, '0')
+                   AS conv_id,
+                 MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' '))
+                   AS key
+          FROM documents
+        ), df_ok AS (
+          SELECT key FROM turns GROUP BY key
+          HAVING COUNT(DISTINCT conv_id) <= 8
+        ), kept AS (
+          SELECT t.* FROM turns t JOIN df_ok USING (key)
+        ), sizes AS (
+          SELECT conv_id, COUNT(*)::BIGINT AS n_keys
+          FROM kept GROUP BY conv_id
+        ), pairs AS (
+          SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                 COUNT(*)::BIGINT AS shared
+          FROM kept a JOIN kept b
+            ON a.key = b.key AND a.conv_id < b.conv_id
+          GROUP BY a.conv_id, b.conv_id
+        )
+        SELECT conv_a, conv_b, shared,
+               (shared * 20000 + (sa.n_keys + sb.n_keys - shared))
+                 // (2 * (sa.n_keys + sb.n_keys - shared)) AS jaccard_e4
+        FROM pairs
+        JOIN sizes sa ON sa.conv_id = conv_a
+        JOIN sizes sb ON sb.conv_id = conv_b
+        WHERE (shared * 20000 + (sa.n_keys + sb.n_keys - shared))
+                 // (2 * (sa.n_keys + sb.n_keys - shared)) >= 500
+    """,
     "tool_call_extract": """
         SELECT doc_id,
                (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT
@@ -499,6 +623,32 @@ QUERIES = {
     "subtitle_cues": subtitle_cues,
     "tool_call_extract": tool_call_extract,
     "turn_latency_stats": turn_latency_stats,
+    "conversation_near_dups": conversation_near_dups,
     "cues_to_turns": cues_to_turns,
     "email_quote_strip": email_quote_strip,
 }
+
+
+from .trainprep import ORACLES as _TP_ORACLES  # noqa: E402
+
+ORACLES["transcript_report"] = """
+    WITH cq AS (%(cq)s), tool AS (%(tool)s), lat AS (%(lat)s),
+         nd AS (%(nd)s)
+    SELECT
+      (SELECT COUNT(*) FROM cq)::BIGINT AS n_convs,
+      ((SELECT SUM(keep) FROM cq)::BIGINT * 20000
+        + (SELECT COUNT(*) FROM cq))
+        // (2 * (SELECT COUNT(*) FROM cq)) AS keep_rate_e4,
+      ((SELECT SUM(has_call) FROM tool)::BIGINT * 20000
+        + (SELECT COUNT(*) FROM tool))
+        // (2 * (SELECT COUNT(*) FROM tool)) AS tool_call_rate_e4,
+      (SELECT SUM(n_responses) FROM lat)::BIGINT AS total_responses,
+      (SELECT MAX(max_latency_us) FROM lat)::BIGINT
+        AS worst_latency_us,
+      (SELECT COUNT(*) FROM nd)::BIGINT AS near_dup_pairs
+""" % {"cq": _TP_ORACLES["conversation_quality"],
+       "tool": ORACLES["tool_call_extract"],
+       "lat": ORACLES["turn_latency_stats"],
+       "nd": ORACLES["conversation_near_dups"]}
+
+QUERIES["transcript_report"] = transcript_report
