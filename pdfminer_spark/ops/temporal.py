@@ -146,11 +146,107 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (the product-analytics classic):
+    per user, the first ``signup`` event, the first ``purchase``
+    STRICTLY AFTER it, and a converted-within-7-days verdict. Ordered
+    "first B after A" is the shape naive joins get wrong — here it is
+    two user-keyed aggregations joined on the user key (co-partitioned;
+    no window over the raw event stream).
+
+    Scale: two map-side-combined aggregations + one same-key join —
+    exchanges keyed by user_id only, event payloads never travel."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", "ts")
+         .join(s, "user_id")
+         .where(F.col("ts") > F.col("signup_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    return (s.join(p, "user_id", "left")
+            .select("user_id", "signup_ts", "purchase_ts",
+                    F.when(F.col("purchase_ts").isNull(), 0)
+                     .when(F.col("purchase_ts")
+                           <= F.col("signup_ts")
+                           + F.expr("INTERVAL %d DAYS"
+                                    % _FUNNEL_WINDOW_DAYS), 1)
+                     .otherwise(0).cast("int").alias("converted")))
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (the other product-analytics classic):
+    cohort = each user's first active day; per cohort day, user count
+    and how many were active again exactly 1 and 7+ days later. Date
+    arithmetic stays in whole days (to_date/datediff — identical
+    semantics in DuckDB's DATE_DIFF), so no timestamp rounding crosses
+    engines.
+
+    Scale: one user-keyed aggregation (first day), one co-partitioned
+    join back, one cohort-keyed aggregation — the cohort key space is
+    days, bounded and tiny."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = (ev.join(first, "user_id")
+         .select("user_id", "cohort_day",
+                 F.datediff("day", "cohort_day").alias("off")))
+    return (j.groupBy(
+                F.date_format("cohort_day", "yyyy-MM-dd")
+                 .alias("cohort_day"))
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct(F.when(F.col("off") == 1,
+                                        F.col("user_id")))
+                  .alias("d1_retained"),
+                 F.countDistinct(F.when(F.col("off") >= 7,
+                                        F.col("user_id")))
+                  .alias("d7_retained")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
 ORACLES: dict[str, str] = {
+    "funnel_analysis": """
+        WITH s AS (
+          SELECT user_id, MIN(ts) AS signup_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), p AS (
+          SELECT e.user_id, MIN(e.ts) AS purchase_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+          GROUP BY e.user_id
+        )
+        SELECT s.user_id, s.signup_ts, p.purchase_ts,
+               (CASE WHEN p.purchase_ts IS NULL THEN 0
+                     WHEN p.purchase_ts <= s.signup_ts
+                          + INTERVAL 7 DAY THEN 1
+                     ELSE 0 END)::INT AS converted
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    "cohort_retention": """
+        WITH ev AS (
+          SELECT user_id, ts::DATE AS day FROM events
+        ), first AS (
+          SELECT user_id, MIN(day) AS cohort_day
+          FROM ev GROUP BY user_id
+        ), j AS (
+          SELECT e.user_id, f.cohort_day,
+                 DATE_DIFF('day', f.cohort_day, e.day) AS off
+          FROM ev e JOIN first f ON e.user_id = f.user_id
+        )
+        SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+               COUNT(DISTINCT user_id)::BIGINT AS n_users,
+               COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END)
+                 ::BIGINT AS d1_retained,
+               COUNT(DISTINCT CASE WHEN off >= 7 THEN user_id END)
+                 ::BIGINT AS d7_retained
+        FROM j GROUP BY STRFTIME(cohort_day, '%Y-%m-%d')
+    """,
     "asof_join": """
         WITH clicks AS (
           SELECT user_id, ts,
@@ -215,6 +311,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "funnel_analysis": funnel_analysis,
+    "cohort_retention": cohort_retention,
     "asof_join": asof_join,
     "scd2_range_join": scd2_range_join,
     "sessionize": sessionize,
