@@ -200,6 +200,30 @@ AUDITS = [
     ("conversation_quality",
      "ONE exchange: conv_id window computes alternation flags, the "
      "conv_id groupBy reuses the window's partitioning."),
+    ("nb_classifier",
+     "the trained (token, class, lp6) table and priors enter as "
+     "BroadcastHashJoin build sides (bounded by the feature space, "
+     "never the corpus); scoring is one map-side-combined exchange "
+     "keyed by (doc, class) and a groupBy(doc) struct-max — no window, "
+     "no driver-side scoring."),
+    ("winnow_fingerprints",
+     "k-gram hashing and the W-window minimum selection are HOFs over "
+     "once-materialized arrays inside the scan stage; one explode of "
+     "selected fingerprints feeds a distinct keyed by (doc, pos, "
+     "hash) — uniform hash keys, no skew."),
+    ("funnel_analysis",
+     "first-signup and first-purchase-after are two user_id-keyed "
+     "aggregations with map-side partial_min; the joins are same-key "
+     "(co-partitioned or broadcast under AQE) — ordered 'first B "
+     "after A' without any window over the raw event stream."),
+    ("cohort_retention",
+     "first-day per user is one user-keyed aggregation; the join back "
+     "is same-key; the cohort aggregation keys on DAYS (bounded) with "
+     "distinct-count partials map-side."),
+    ("conversation_near_dups",
+     "turn-key sets shuffle on the md5 key (uniform); the df cap "
+     "bounds per-key fan-out of the pair self-join; Jaccard is exact "
+     "integer arithmetic on two joined size aggregates."),
 ]
 
 def main() -> None:
