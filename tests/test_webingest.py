@@ -302,3 +302,45 @@ def test_parse_feed_rss_and_atom():
         parse_feed("<html/>")
     with pytest.raises(WarcError):
         parse_feed(rss.replace("</rss>", ""))  # malformed XML
+
+
+def test_extract_links_edges():
+    from pdfminer_spark.html.metadata import extract_links
+
+    # nested anchor implicitly closes the outer one (HTML5 rule);
+    # unclosed trailing anchor still flushes; attribute-less <a> skipped
+    links = extract_links(
+        '<a href="/a">one <a href="/b">two</a> tail <a>naked</a>'
+        '<a href="/c">three')
+    assert ("/a", "one") in links
+    assert ("/b", "two") in links
+    assert ("/c", "three") in links
+    assert all(h for (h, _) in links if h != "")
+    # malformed markup degrades, never raises
+    assert isinstance(extract_links("<a href='x'><<<>>"), list)
+
+
+def test_parse_front_matter_edges():
+    from pdfminer_spark.ops.webingest import parse_front_matter
+
+    (fm, body) = parse_front_matter("---\na: 1\nb: two words\n---\nbody")
+    assert fm == {"a": "1", "b": "two words"} and body == "body"
+    # no opening delimiter -> no front matter
+    assert parse_front_matter("plain") == ({}, "plain")
+    # unterminated block -> treated as body
+    assert parse_front_matter("---\na: 1\n") == ({}, "---\na: 1\n")
+    # non-simple keys (spaces) reject the whole block
+    raw = "---\nnot a key line\n---\nrest"
+    assert parse_front_matter(raw) == ({}, raw)
+
+
+def test_table_parser_second_table_and_nesting():
+    import pandas as pd
+
+    from pdfminer_spark.ops.webingest import _table_batches
+
+    out = list(_table_batches(iter([pd.DataFrame({"doc_id": [6]})])))[0]
+    # doc 6: 2+6%3=2 body rows, 2+6%2=2 cols, + 1 header row
+    assert len(out) == (1 + 2) * 2
+    assert set(out[out.is_header == 1].cell) == {"h0", "h1"}
+    assert "r0c0 6" in set(out.cell)  # inline <b> text joined
