@@ -106,35 +106,48 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 collected rows' worth of data only via the global LIMIT).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                 lambda w: w != "").alias("w"))
-    toks = toks.select("doc_id", F.size("w").alias("dl"),
-                       F.explode("w").alias("token"))
-    # N docs, L total tokens, df per query term: ≤ 4+1 rows collected
-    nl = toks.agg(F.countDistinct("doc_id").alias("n"),
-                  F.count("*").alias("l")).collect()[0]
-    n, l = int(nl["n"]), int(nl["l"])
-    dfs = {r["token"]: int(r["df"]) for r in
-           toks.where(F.col("token").isin(*_BM25_QUERY))
-           .groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-           .collect()}
-    idf_rows = [(t, int(math.floor(
-        1e6 * math.log((2 * n + 2) / (2 * dfs[t] + 1)))))
-        for t in sorted(dfs)]
-    idf = F.broadcast(spark.createDataFrame(
-        idf_rows, "token string, idf6 long"))
-    tf = (toks.where(F.col("token").isin(*_BM25_QUERY))
-          .groupBy("doc_id", "token", "dl")
-          .agg(F.count("*").alias("tf")))
-    per_term = tf.join(idf, "token").select(
-        "doc_id",
-        F.expr("(idf6 * 22 * tf * {l}L) div "
-               "(10 * {l}L * tf + 3 * {l}L + 9 * dl * {n}L)"
-               .format(l=l, n=n)).alias("s6"))
-    scored = (per_term.groupBy("doc_id")
-              .agg(F.sum("s6").alias("bm25_e6"))
+    # ONE tokenization pass, NO explode (r8: the r7 plan tokenized the
+    # whole corpus three times — N/L agg, df agg, tf agg — each behind
+    # its own Generate): per-doc dl and the per-query-term tf are array
+    # expressions over a single split, materialized once (the frame is
+    # tiny: doc_id + 5 longs) and reused by the stats agg and the
+    # scoring projection. Same shuffle-free TakeOrderedAndProject tail.
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda w: w != "")
+    tf_cols = [F.size(F.filter(F.col("w"), lambda x: x == t))
+               .cast("long").alias("tf_%d" % i)
+               for (i, t) in enumerate(_BM25_QUERY)]
+    per_doc = (d.select("doc_id", words.alias("w"))
+               .select("doc_id", F.size("w").cast("long").alias("dl"),
+                       *tf_cols)
+               .localCheckpoint(eager=True))
+    # N docs (with >= 1 token), L total tokens, df per term: ONE
+    # aggregation collecting 6 scalars (the dsir_weights precedent)
+    stats = per_doc.agg(
+        F.sum((F.col("dl") > 0).cast("long")).alias("n"),
+        F.sum("dl").alias("l"),
+        *[F.sum((F.col("tf_%d" % i) > 0).cast("long")).alias("df_%d" % i)
+          for i in range(len(_BM25_QUERY))]).collect()[0]
+    n, l = int(stats["n"]), int(stats["l"])
+    dfs = {t: int(stats["df_%d" % i]) for (i, t) in enumerate(_BM25_QUERY)}
+    idf6 = {t: int(math.floor(1e6 * math.log((2 * n + 2) / (2 * dfs[t] + 1))))
+            for t in _BM25_QUERY}
+    per_term = [
+        F.when(F.col("tf_%d" % i) > 0,
+               F.expr("({idf6}L * 22 * tf_{i} * {l}L) div "
+                      "(10 * {l}L * tf_{i} + 3 * {l}L + 9 * dl * {n}L)"
+                      .format(idf6=idf6[t], i=i, l=l, n=n)))
+        .otherwise(F.lit(0).cast("long"))
+        for (i, t) in enumerate(_BM25_QUERY)]
+    any_term = None
+    for i in range(len(_BM25_QUERY)):
+        c = F.col("tf_%d" % i) > 0
+        any_term = c if any_term is None else (any_term | c)
+    s6 = per_term[0]
+    for p in per_term[1:]:
+        s6 = s6 + p
+    scored = (per_doc.where(any_term)
+              .select("doc_id", s6.alias("bm25_e6"))
               .orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
               .limit(_BM25_TOPK))
     w = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())

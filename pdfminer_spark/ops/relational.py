@@ -76,26 +76,39 @@ def interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of events by the same user within 300s — the range-query
     neighbor join of the line-grouping stage (Plane.find analog).
 
-    Scale: co-partitioned equi-join on user_id (hash shuffle both sides,
-    same key -> co-located), range predicate applied post-join; on a
-    cluster this would be a bucketed sort-merge join; skewed users would
-    get salted."""
+    Scale (r8): banded interval join — the bare user_id equi-join
+    produced every same-user pair (C(events_per_user, 2) rows per user,
+    33M at sf1.0) only to filter 99.98% of them with the 300s range
+    predicate. Each event now also carries its 300s time bucket; one
+    side explodes to {bucket-1, bucket, bucket+1} and the join key is
+    (user_id, bucket), so a pair is generated only when the two events
+    are within one bucket of each other (a superset of |dt| <= 300s —
+    the exact predicate is re-applied post-join, so the result set is
+    identical). Each qualifying pair matches exactly once: the b side
+    has a single bucket value and the a-side explode values are
+    distinct. Shuffle is 3x the event rows (8-byte columns only) in
+    exchange for a join output proportional to true matches instead of
+    to per-user-count squared."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("ts_ms"))
-    a = ev.alias("a")
-    b = ev.alias("b")
+    bkt = F.floor(F.col("ts_ms") / 300000)
+    a = ev.select(
+        "user_id", F.col("event_id").alias("event_a"),
+        F.col("ts_ms").alias("ts_a"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"))
+    b = ev.select(
+        "user_id", F.col("event_id").alias("event_b"),
+        F.col("ts_ms").alias("ts_b"), bkt.alias("bkt"))
     return (
-        a.join(b, "user_id")
+        a.join(b, ["user_id", "bkt"])
         .where(
-            (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.abs(F.col("a.ts_ms") - F.col("b.ts_ms")) <= 300000)
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= 300000)
         )
         .select(
-            "user_id",
-            F.col("a.event_id").alias("event_a"),
-            F.col("b.event_id").alias("event_b"),
-            (F.col("b.ts_ms") - F.col("a.ts_ms")).alias("gap_ms"),
+            "user_id", "event_a", "event_b",
+            (F.col("ts_b") - F.col("ts_a")).alias("gap_ms"),
         )
     )
 
