@@ -42,10 +42,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(spark: SparkSession, sf_dir: str,
+                parallel: bool = False) -> DataFrame:
     """Synthesize an opaque-binary media table from documents: payload =
-    utf-8 bytes of the text (a stand-in for image bytes), kind cycled."""
+    utf-8 bytes of the text (a stand-in for image bytes), kind cycled.
+
+    ``parallel=True`` spreads the scan to the session parallelism before
+    a CPU-heavy per-row decode stage (r8): the single-file test scan is
+    ONE partition (one row group), so without the spread a 32-core box
+    runs the whole decode single-threaded — the same fix the
+    media_decode_* family measured at 3-5x in r7. The shuffled payload
+    is the text bytes (a few MB at test SFs); a real multi-file corpus
+    scan already has thousands of partitions and AQE coalesces the
+    excess."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if parallel:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -541,11 +553,11 @@ def _feature_batches(vector: bool):
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode -> feature-extract over Arrow batches, directly on the scan
-    partitions (no shuffle: doc_id is unique, a repartition would move
-    every payload byte for nothing). Emits feature_digest, not the raw
-    vector — canonical across engines."""
-    m = media_table(spark, sf_dir)
+    """decode -> feature-extract over Arrow batches, spread to the
+    session parallelism first (see media_table: a single-file scan is
+    one partition). Emits feature_digest, not the raw vector —
+    canonical across engines."""
+    m = media_table(spark, sf_dir, parallel=True)
     return m.mapInPandas(_feature_batches(vector=False),
                          schema=FEATURES_DIGEST_SCHEMA)
 
@@ -553,7 +565,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library variant: same decode path, raw normalized float vector
     (feeds the ANN/similarity operators downstream)."""
-    m = media_table(spark, sf_dir)
+    m = media_table(spark, sf_dir, parallel=True)
     return m.mapInPandas(_feature_batches(vector=True),
                          schema=FEATURES_SCHEMA)
 
@@ -569,7 +581,7 @@ def media_resize(spark: SparkSession, sf_dir: str,
     swapping in PIL's 2-D resampling changes only the kernel, not the
     Spark plumbing (Arrow batch in, fixed-size row out, no shuffle).
     Emits an md5 of the resampled bytes (cross-engine canonical)."""
-    m = media_table(spark, sf_dir)
+    m = media_table(spark, sf_dir, parallel=True)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -605,7 +617,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str,
     temporal sampling; the decode that would yield the actual frame
     bytes is the honestly-stubbed _fake_decode (frames count derived
     from the content digest). One row per (video, sample)."""
-    m = media_table(spark, sf_dir).where(F.col("kind") == "video")
+    m = media_table(spark, sf_dir, parallel=True).where(F.col("kind") == "video")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

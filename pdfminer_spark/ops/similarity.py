@@ -97,9 +97,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the query vector is a broadcast (literal) single row —
     crossJoin(broadcast) keeps the big side unshuffled; top-k executes as
     TakeOrderedAndProject (per-partition heap, driver merge)."""
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"))
+    # big side spread to the session parallelism (single-file scan is
+    # one partition; the per-row HOF cosine would otherwise run on one
+    # core); q stays on the plain scan — a 1-row broadcast subplan
+    e = _emb(spark, sf_dir, parallel=True)
+    q = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("q_emb")))
     joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     cos = _dot(F.col("embedding"), F.col("q_emb")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_emb")))
@@ -408,31 +411,59 @@ def _quantizer_root() -> str:
             "spark-warehouse", "ivf_quantizer"))
 
 
-def _ivf_assign(e: DataFrame, cent: DataFrame,
+def _ivf_assign(e: DataFrame, cents: list,
                 extra_cols: tuple = ()) -> DataFrame:
     """(vec_id, embedding, cell [, *extra_cols]): nearest trained
     centroid by cosine, rounded to 4 decimals (half-up on both engines)
     with ties broken by the smaller cell id — the discrete,
     cross-engine-stable assignment rule, defined in exactly ONE place so
-    it cannot drift from the oracle's CTE. cent is tiny (k rows) and
-    broadcast. ``extra_cols`` may include 'ccos' (the rounded winning
-    cosine) and/or input columns to carry through."""
-    from pyspark.sql import Window
+    it cannot drift from the oracle's CTE. ``extra_cols`` may include
+    'ccos' (the rounded winning cosine) and/or input columns to carry
+    through.
 
-    ccos = _dot(F.col("embedding"), F.col("centroid")) / (
-        _norm(F.col("embedding")) * _norm(F.col("centroid")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc())
+    r8 shape: ``cents`` is the driver-side [(cell, centroid), ...] list
+    (it always was — every caller built a k-row DataFrame from it), so
+    the k centroids become PLAN LITERALS and the argmax is one
+    array_min over (neg-ccos, cell) structs per row: the r7
+    crossJoin(k) -> k*n-row exchange (embedding arrays included) ->
+    per-vec_id window is now a zero-exchange map stage. Equivalence:
+    each centroid norm is accumulated driver-side in the same
+    element order as the _norm fold (bit-identical IEEE adds + sqrt);
+    rounded-cosine ties keep the min-cell rule via the struct's second
+    field; negation is exact, and -0.0 is canonicalized to 0.0 before
+    negation so the zero case orders exactly like the window's
+    normalized sort did."""
+    import math
+
     carried = [c for c in extra_cols if c != "ccos"]
     out = ["vec_id", "embedding", "cell"] + list(extra_cols)
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cell",
-                F.round(ccos, 4).alias("ccos"), *carried)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(*out)
-    )
+    base = e.select("vec_id", "embedding", *carried,
+                    _norm(F.col("embedding")).alias("_ne"))
+    cos_cols = []
+    for (cell, vec) in cents:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        cnorm = math.sqrt(acc)
+        lv = F.array(*[F.lit(float(x)) for x in vec])
+        cos_cols.append(
+            F.round(_dot(F.col("embedding"), lv)
+                    / (F.col("_ne") * F.lit(cnorm)), 4)
+            .alias("_c%d" % int(cell)))
+    proj = base.select("*", *cos_cols)
+    neg = [F.when(F.col("_c%d" % int(cell)) == 0.0, F.lit(0.0))
+           .otherwise(-F.col("_c%d" % int(cell))) for (cell, _v) in cents]
+    best = F.array_min(F.array(*[
+        F.struct(neg[i].alias("nc"),
+                 F.lit(int(cell)).alias("cell"),
+                 F.col("_c%d" % int(cell)).alias("ccos"))
+        for (i, (cell, _v)) in enumerate(cents)]))
+    picked = proj.select("vec_id", "embedding", *carried,
+                         best.alias("_b"))
+    return picked.select(
+        "vec_id", "embedding", F.col("_b.cell").alias("cell"),
+        *[F.col("_b.ccos").alias("ccos") if c == "ccos" else c
+          for c in extra_cols]).select(*out)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str,
@@ -516,9 +547,7 @@ def _train_ivf(spark: SparkSession, sf_dir: str, k: int,
     cents = [(int(r["vec_id"]) - 1, [float(x) for x in r["embedding"]])
              for r in seeds]
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            cents, "cell int, centroid array<double>")
-        assigned = _ivf_assign(e, cent_df)
+        assigned = _ivf_assign(e, cents)
         med = (assigned.select("cell", F.posexplode("embedding")
                                .alias("pos", "v"))
                .groupBy("cell", "pos")
@@ -546,10 +575,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distance work (via the assignment — in a production layout the
     table is bucketed by cell so pruning is a partition-pruned scan),
     and the exact top-k is TakeOrderedAndProject."""
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    cent = spark.createDataFrame(_ivf_centroids(spark, sf_dir),
-                                 "cell int, centroid array<double>")
+    # parallel spread: the assignment is now a map-only stage, so it
+    # inherits the scan's partitioning — and the single-file test scan
+    # is ONE partition (the r7 plan got its parallelism by accident,
+    # from the window exchange)
+    e = _emb(spark, sf_dir, parallel=True)
+    # q reads the PLAIN scan: the broadcast subplan is built twice
+    # (probed + the final crossJoin) and must not drag the repartition
+    # exchange of the whole table in just to keep one row
+    q = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("q_emb")))
+    cents = _ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(cents, "cell int, centroid array<double>")
     ccos = _dot(F.col("centroid"), F.col("q_emb")) / (
         _norm(F.col("centroid")) * _norm(F.col("q_emb")))
     probed = (cent.crossJoin(F.broadcast(q))
@@ -557,7 +594,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy(F.col("ccos").desc(), F.col("cell").asc())
               .limit(_IVF_PROBES)
               .select("cell"))
-    assigned = _ivf_assign(e, cent)
+    assigned = _ivf_assign(e, cents)
     cand = (assigned.where(F.col("vec_id") != 0)
             .join(F.broadcast(probed), "cell"))
     cos = _dot(F.col("embedding"), F.col("q_emb")) / (
@@ -576,12 +613,11 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid) plus each cell's size — the embedding-space clustering a
     curation pipeline uses for diversity sampling / topic balancing.
     Reuses the persisted IVF quantizer AND the single shared assignment
-    rule (_ivf_assign — one definition, one oracle contract): broadcast
-    k centroids, one window per vec_id, one groupBy."""
-    e = _emb(spark, sf_dir)
-    cent = spark.createDataFrame(_ivf_centroids(spark, sf_dir),
-                                 "cell int, centroid array<double>")
-    assigned = _ivf_assign(e, cent, extra_cols=("ccos", "label"))
+    rule (_ivf_assign — one definition, one oracle contract): k literal
+    centroids, a per-row argmax, one groupBy."""
+    e = _emb(spark, sf_dir, parallel=True)
+    assigned = _ivf_assign(e, _ivf_centroids(spark, sf_dir),
+                           extra_cols=("ccos", "label"))
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_size"))
     return (assigned.join(sizes, "cell")
             .select("vec_id", "label", "cell", "ccos", "cell_size"))
@@ -806,10 +842,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     sum(cell_size^2)/2, tunable by k — at 100 TB, cells are sharded and
     the per-cell triangle runs as an equi-join on cell, never a global
     product."""
-    e = _emb(spark, sf_dir)
-    cent = spark.createDataFrame(_ivf_centroids(spark, sf_dir),
-                                 "cell int, centroid array<double>")
-    assigned = _ivf_assign(e, cent)
+    e = _emb(spark, sf_dir, parallel=True)
+    assigned = _ivf_assign(e, _ivf_centroids(spark, sf_dir))
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("emb_a"), "cell")
     b = assigned.select(F.col("vec_id").alias("id_b"),

@@ -881,9 +881,13 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                            lambda w: w != "")).alias("token"))
-    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = (tokens.distinct().groupBy("token")
-          .agg(F.count("*").alias("df")))
+    # tf is materialized once and feeds BOTH the join and the df
+    # aggregation (r8): tf rows are unique per (doc_id, token) by
+    # construction, so df = count of tf rows per token — the r7 plan's
+    # second corpus explode + (doc_id, token) distinct shuffle is gone
+    tf = (tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
     return (tf.join(df, "token")

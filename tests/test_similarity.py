@@ -111,8 +111,7 @@ def test_ivf_trained_cells_rank_consistency(spark):
 
     cents = _ivf_centroids(spark, SF_DIR)
     assert len(cents) == _IVF_K
-    cent_df = spark.createDataFrame(cents, "cell int, centroid array<double>")
-    sizes = (_ivf_assign(_emb(spark, SF_DIR), cent_df)
+    sizes = (_ivf_assign(_emb(spark, SF_DIR), cents)
              .groupBy("cell").count().collect())
     assert len(sizes) == _IVF_K  # no empty cell after training (this corpus)
     exact10 = {r["vec_id"] for r in
