@@ -20,7 +20,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .textops import _docs
-from .webingest import WarcError
 
 _MAX_ZIP_MEMBERS = 65_535           # the format's own 2-byte limit
 _MAX_MEMBER_BYTES = 1 << 24         # 16 MiB decompressed per member
@@ -113,7 +112,9 @@ def extract_docx_text(b: bytes) -> tuple[int, str]:
         raise ZipError("no word/document.xml — not a DOCX")
     head = doc[:1024].upper()
     if b"<!DOCTYPE" in head:
-        raise WarcError("DOCX XML with DOCTYPE rejected")
+        # ZipError, not WarcError: callers catch ZipError per the
+        # module contract (r7 ADVICE — WarcError broke it)
+        raise ZipError("DOCX XML with DOCTYPE rejected")
     try:
         root = ET.fromstring(doc)
     except ET.ParseError as e:

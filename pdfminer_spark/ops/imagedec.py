@@ -816,7 +816,11 @@ def decode_gif(b: bytes) -> dict:
                 raise ImageDecodeError("GIF missing LZW code size")
             minc = b[pos]
             pos += 1
-            if not 2 <= minc <= 11:
+            # spec cap is 8 (color depth <= 8 bits): 9-11 used to slip
+            # through to _gif_lzw, whose bytes([i]) for i >= 256 raised
+            # a bare ValueError that escaped decode_media's fallback
+            # and killed the task (r7 ADVICE, reproduced)
+            if not 2 <= minc <= 8:
                 raise ImageDecodeError("bad GIF LZW min code size %d" % minc)
             (data, pos) = _gif_subblocks(b, pos)
             frames += 1

@@ -638,7 +638,12 @@ def _simhash_candidates(sims: DataFrame) -> DataFrame:
         + blocks[k]
         for ci, (i, j, k) in enumerate(_SIM_COMBOS)
     ])
-    keyed = sims.select("doc_id", F.explode(keys).alias("mk"))
+    # materialized once (r8): both self-join sides read the keyed frame,
+    # and the hex parse + 20 packed-key expressions per row are the
+    # expensive part (measured 1.1 s per evaluation at sf1.0 vs 1.0 s
+    # for the join itself) — without the checkpoint each side pays it
+    keyed = (sims.select("doc_id", F.explode(keys).alias("mk"))
+             .localCheckpoint(eager=True))
     a = keyed.select(F.col("doc_id").alias("id_a"), "mk")
     b = keyed.select(F.col("doc_id").alias("id_b"), "mk")
     return (a.join(b, ["mk"])
@@ -666,7 +671,10 @@ def _simhash_cand(sims: DataFrame) -> DataFrame:
     the 64-expression signature aggregation exactly once — and is freed
     by the ContextCleaner, not pinned in the CacheManager."""
     sims = sims.localCheckpoint(eager=True)
-    reps = sims.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    # reps feeds three subplans (the Manku keying and both signature
+    # re-joins) — materialize the groupBy once (r8)
+    reps = (sims.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint(eager=True))
     cand = _simhash_candidates(reps)
     sa = reps.select(F.col("doc_id").alias("id_a"),
                      F.col("simhash").alias("sim_a"))

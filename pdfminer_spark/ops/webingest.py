@@ -612,6 +612,11 @@ def jsonl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # corpus-purity assumption (r7 ADVICE): the text column is spliced
+    # into the JSON literal unescaped, which is only well-formed because
+    # the driver corpus is quote- and backslash-free ASCII; real text
+    # would need F.to_json(F.struct(...)) here — not changed now because
+    # the pinned oracle builds the line the same raw way
     js = F.concat(
         F.lit('{"id": '), F.col("doc_id").cast("string"),
         F.lit(', "meta": {"lang": "en", "score": '),

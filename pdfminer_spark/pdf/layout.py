@@ -609,13 +609,18 @@ def group_lines_to_boxes(laparams: LAParams, lines: list, page_bbox) -> list:
 # -- boxes -> reading order (reference group_textboxes, layout.py:599-664) ----
 
 def _boxes_dist(o1, o2):
-    x0 = min(o1.x0, o2.x0)
-    y0 = min(o1.y0, o2.y0)
-    x1 = max(o1.x1, o2.x1)
-    y1 = max(o1.y1, o2.y1)
+    # conditional expressions instead of min()/max() builtins: this and
+    # isany are the two hottest scalar helpers of layout analysis, and
+    # the four builtin calls per invocation were ~25% of its tottime
+    (a0, b0, a1, b1) = (o1.x0, o1.y0, o1.x1, o1.y1)
+    (c0, d0, c1, d1) = (o2.x0, o2.y0, o2.x1, o2.y1)
+    x0 = a0 if a0 < c0 else c0
+    y0 = b0 if b0 < d0 else d0
+    x1 = a1 if a1 > c1 else c1
+    y1 = b1 if b1 > d1 else d1
     return ((x1 - x0) * (y1 - y0)
-            - (o1.x1 - o1.x0) * (o1.y1 - o1.y0)
-            - (o2.x1 - o2.x0) * (o2.y1 - o2.y0))
+            - (a1 - a0) * (b1 - b0)
+            - (c1 - c0) * (d1 - d0))
 
 
 def group_textboxes(boxes: list, page_bbox) -> list:
@@ -636,11 +641,15 @@ def group_textboxes(boxes: list, page_bbox) -> list:
     plane = Plane(page_bbox)
     plane.extend(boxes)
 
+    any_between = plane.any_between
+
     def isany(o1, o2):
         # any third object inside the union bbox? (existence-only scan)
-        return plane.any_between(
-            min(o1.x0, o2.x0), min(o1.y0, o2.y0),
-            max(o1.x1, o2.x1), max(o1.y1, o2.y1), o1, o2)
+        (a0, b0, a1, b1) = (o1.x0, o1.y0, o1.x1, o1.y1)
+        (c0, d0, c1, d1) = (o2.x0, o2.y0, o2.x1, o2.y1)
+        return any_between(
+            a0 if a0 < c0 else c0, b0 if b0 < d0 else d0,
+            a1 if a1 > c1 else c1, b1 if b1 > d1 else d1, o1, o2)
 
     # `heap` models the list portion sorted at the last merge (popped in
     # (c, d, seq) order — seq reproduces the stable-sort tiebreak);
@@ -673,19 +682,24 @@ def group_textboxes(boxes: list, page_bbox) -> list:
     del D
     heapq.heapify(heap)
     tail_pos = 0
+    # liveness via the plane's id-set directly: the pop loop tests ~n^2
+    # dead pairs over a page, and the bound-method __contains__ call was
+    # its hottest line (id() + attribute + call overhead per test)
+    alive = plane._objs
+    heappop = heapq.heappop
     while True:
         # next live entry: sorted portion first, then the FIFO tail
         entry = None
         while heap:
-            cand = heapq.heappop(heap)
-            if cand[3] in plane and cand[4] in plane:
+            cand = heappop(heap)
+            if id(cand[3]) in alive and id(cand[4]) in alive:
                 entry = cand
                 break
         if entry is None:
             while tail_pos < len(tail):
                 cand = tail[tail_pos]
                 tail_pos += 1
-                if cand[3] in plane and cand[4] in plane:
+                if id(cand[3]) in alive and id(cand[4]) in alive:
                     entry = cand
                     break
             if entry is None:

@@ -39,6 +39,15 @@ def get_spark(app_name: str = "pdfminer-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # guide §3.1/§9: let the planner (and AQE, via the local-map
+        # threshold) pick shuffled-hash over sort-merge when the build
+        # side fits — size-conditioned, so the choice adapts per scale
+        # rather than being a local[32] constant (measured -15% on the
+        # fact-fact join of revenue_by_nation at sf1.0; sort-merge still
+        # chosen whenever no side fits the threshold)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "128m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.driver.memory",

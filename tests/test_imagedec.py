@@ -503,6 +503,17 @@ def test_gif_hostile_bounded():
     # truncated sub-block chain raises, never hangs
     with pytest.raises(ImageDecodeError):
         decode_gif(bytes(gif[:len(gif) - 4]))
+    # LZW min code size above the spec cap of 8 (r7 ADVICE): must raise
+    # ImageDecodeError, not the bare ValueError that used to escape
+    # decode_media's GIF fallback clause and kill the task
+    hot = bytearray(_gif_encode_py(idx, palette))
+    i = hot.index(0x2C)  # image descriptor: 1 sep + 9 bytes, then minc
+    hot[i + 10] = 9
+    with pytest.raises(ImageDecodeError):
+        decode_gif(bytes(hot))
+    from pdfminer_spark.ops.multimodal import decode_media
+    meta = decode_media(bytes(hot), "image")   # falls back, no crash
+    assert "width" in meta and "frames" in meta
 
 
 def test_gif_matches_imageio(_img):
