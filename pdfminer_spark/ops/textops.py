@@ -180,6 +180,20 @@ def _band_expr(j: int):
     return F.md5(F.concat_ws(":", F.lit(str(j)), *cols))
 
 
+def _band_key(j: int):
+    """8-byte band key for the INTERNAL pair paths (r8): xxhash64 over
+    (band index, the band's 4 raw sig longs) — no string build, no md5,
+    and the self-join shuffles an 8-byte long instead of a 32-char hex
+    string. Only equality matters and the key never reaches an output
+    (dedup_minhash_buckets keeps the md5 ``_band_expr``: its band IS an
+    output column); two docs agreeing on a band agree on the key, and a
+    spurious collision needs a 64-bit xxhash64 clash (~1e-11 at 800k
+    band rows) — the same truncation argument as substring_dup_pairs."""
+    cols = [F.col("sig%d" % k)
+            for k in range(_ROWS_PER_BAND * j, _ROWS_PER_BAND * (j + 1))]
+    return F.xxhash64(F.lit(j), *cols)
+
+
 def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket grouping: docs sharing any of the 16 band hashes
     (4 signature rows per band) are dup candidates.
@@ -223,7 +237,7 @@ def minhash_pairs_frame(sigs: DataFrame) -> DataFrame:
     signature frame (caller decides caching — sigs is read twice)."""
     bands = sigs.select(
         "doc_id",
-        F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),
+        F.explode(F.array(*[_band_key(j) for j in range(_BANDS)])).alias("band"),
     )
     a = bands.select(F.col("doc_id").alias("id_a"), "band")
     b = bands.select(F.col("doc_id").alias("id_b"), "band")
@@ -497,7 +511,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str,
     sigs = dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
-        F.explode(F.array(*[_band_expr(j) for j in range(_BANDS)])).alias("band"),
+        F.explode(F.array(*[_band_key(j) for j in range(_BANDS)])).alias("band"),
     )
     is_new = F.col("doc_id") % _INC_NEW_MOD == _INC_NEW_MOD - 1
     new_b = bands.where(is_new)
