@@ -635,28 +635,44 @@ def _simhash_candidates(sims: DataFrame) -> DataFrame:
     Shape note (VERDICT r2 minor #4): the distinct() dedups bare id
     pairs; the 16-char signatures are re-joined afterwards, halving the
     distinct's shuffle width versus dragging them through."""
-    h1 = _hex2long(F.col("simhash"), 1)
-    h2 = _hex2long(F.col("simhash"), 9)
-    blocks = [
-        F.shiftright(h1 if start == 1 else h2, shift)
-        .bitwiseAND(F.lit((1 << width) - 1))
-        for (start, shift, width) in _SIM_BLOCKS
-    ]
+    import numpy as np
+    import pandas as pd
+
     # combo keys packed as ONE long (11-bit block slots + combo index:
     # ((ci*2048 + b_i)*2048 + b_j)*2048 + b_k < 2^38): an 8-byte shuffle
     # key that hashes in one op, vs the r4 '#'-joined decimal string
     # (~30 bytes + string hash). Key format never reaches the output —
     # only the candidate SET matters — so the oracle is untouched.
-    keys = F.array(*[
-        ((F.lit(ci * 2048) + blocks[i]) * 2048 + blocks[j]) * 2048
-        + blocks[k]
-        for ci, (i, j, k) in enumerate(_SIM_COMBOS)
-    ])
-    # materialized once (r8): both self-join sides read the keyed frame,
-    # and the hex parse + 20 packed-key expressions per row are the
-    # expensive part (measured 1.1 s per evaluation at sf1.0 vs 1.0 s
-    # for the join itself) — without the checkpoint each side pays it
-    keyed = (sims.select("doc_id", F.explode(keys).alias("mk"))
+    # r8: the hex parse + 6 block extractions + 20 key packings run
+    # vectorized over the whole Arrow batch (int(s[k:k+8], 16) ==
+    # conv(substring(simhash)); >> == shiftright on non-negatives) —
+    # the interpreted JVM expression tree measured 1.1 s per evaluation
+    # at sf1.0 vs ~0.1 s here — and the keyed frame is STILL
+    # materialized once for both self-join sides.
+    def _key_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            h1 = np.array([int(s[:8], 16) for s in pdf["simhash"]],
+                          dtype=np.int64)
+            h2 = np.array([int(s[8:16], 16) for s in pdf["simhash"]],
+                          dtype=np.int64)
+            blocks = np.empty((n, 6), np.int64)
+            for (bi, (start, shift, width)) in enumerate(_SIM_BLOCKS):
+                src = h1 if start == 1 else h2
+                blocks[:, bi] = (src >> shift) & ((1 << width) - 1)
+            keys = np.empty((n, len(_SIM_COMBOS)), np.int64)
+            for (ci, (i, j, k)) in enumerate(_SIM_COMBOS):
+                keys[:, ci] = (((ci * 2048 + blocks[:, i]) * 2048
+                                + blocks[:, j]) * 2048 + blocks[:, k])
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(),
+                                    len(_SIM_COMBOS)),
+                "mk": keys.reshape(-1)})
+
+    keyed = (sims.select("doc_id", "simhash")
+             .mapInPandas(_key_batches, "doc_id long, mk long")
              .localCheckpoint(eager=True))
     a = keyed.select(F.col("doc_id").alias("id_a"), "mk")
     b = keyed.select(F.col("doc_id").alias("id_b"), "mk")
