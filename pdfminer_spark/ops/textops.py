@@ -606,7 +606,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(int(doc_id))
                 fps.append("".join(_HEX[v] for v in nibs))
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "simhash": fps})
+                                "simhash": pd.Series(fps, dtype="object")})
 
     return base.mapInPandas(fn, "doc_id long, simhash string")
 
@@ -768,14 +768,52 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 5x, and true near-dups by far less.
 
     The brute-force baseline the MinHash/LSH path approximates; at corpus
-    scale only the LSH candidates are compared."""
+    scale only the LSH candidates are compared.
+
+    r8: distinct shingles are built + md5-hashed to signed longs in one
+    Arrow-batched mapInPandas (the §B/§E pattern of OPTIMIZATION_r08) —
+    the interpreted shingle transform disappears, the bucket self-join
+    carries array<long> instead of array<string> (8 bytes per shingle
+    vs the full 3-gram text), and array_intersect compares longs. The
+    shingle values only ever feed set intersection, never the output,
+    so the 64-bit truncation argument of substring_dup_pairs applies
+    verbatim (intersection counts shift only on a 64-bit collision
+    between distinct shingles). The frame is also materialized once —
+    both join sides previously re-evaluated the shingle build."""
+    import numpy as np
+    import pandas as pd
+
     d = _docs(spark, sf_dir, parallel=True)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                      lambda w: w != "")
-    shingles = F.array_distinct(_shingles_expr(words, keep_empty_tokens=False))
-    base = (d.select("doc_id", shingles.alias("sh"),
-                     F.size(shingles).alias("n_sh"))
-            .filter(F.col("n_sh") > 0))
+
+    def fn(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, shs, ns = [], [], []
+            for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
+                wl = list(w)
+                hs = {md5((" ".join(wl[i:i + 3])).encode("utf-8"))
+                      .digest()[:8] for i in range(len(wl) - 2)}
+                if not hs:
+                    continue
+                ids.append(int(doc_id))
+                shs.append([int.from_bytes(h, "big", signed=True)
+                            for h in hs])
+                ns.append(len(hs))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                # explicit object dtype: an all-skipped batch would
+                # otherwise yield an empty float64 column, which Arrow
+                # cannot convert to array<long>
+                "sh": pd.Series(shs, dtype="object"),
+                "n_sh": pd.Series(ns, dtype="int32")})
+
+    base = (d.select("doc_id", words.alias("w"))
+            .mapInPandas(fn, "doc_id long, sh array<long>, n_sh int")
+            .localCheckpoint(eager=True))
     bucket = F.floor(F.col("n_sh") / 16)
     a = base.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
@@ -864,35 +902,48 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by its most frequent word-2-gram. Both are pure JVM
     array/aggregate expressions over one explode — no self-join.
 
-    Scale: one shuffle keyed on (doc_id, gram) for the 2-gram counts
-    with map-side partial counts; the per-doc argmax is a window over
-    doc-local rows."""
+    r8 shape: every signal is doc-LOCAL, so the r7 2-gram explode ->
+    corpus-wide (doc_id, gram) aggregation -> per-doc window was three
+    operators (and an exchange) computing what one per-row pass can:
+    the max bigram multiplicity per doc (the gram identity never
+    reaches the output, so not even a tie-break is observable — equal
+    counts give the same ``c``). Counting runs in one Arrow-batched
+    mapInPandas over the JVM-tokenized words (Counter over adjacent
+    token pairs; set() size == array_distinct size); the ratio
+    arithmetic and rounding stay in the same JVM expressions as before.
+    Zero exchanges."""
+    import pandas as pd
+
     d = _docs(spark, sf_dir, parallel=True)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                      lambda w: w != "")
-    base = d.select("doc_id", words.alias("w"),
-                    F.size(words).alias("n_words"),
-                    F.size(F.array_distinct(words)).alias("n_distinct"))
-    grams = F.when(
-        F.size(F.col("w")) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 1),
-                    lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i),
-                                          F.element_at(F.col("w"), i + 1))),
-    ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
-    gexp = base.select("doc_id", "n_words", "n_distinct",
-                       F.explode_outer(grams).alias("gram"))
-    counts = (gexp.groupBy("doc_id", "n_words", "n_distinct", "gram")
-              .agg(F.count(F.col("gram")).alias("c")))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("c").desc(), F.col("gram").asc_nulls_last())
-    top = (counts.withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") == 1))
-    return top.select(
+    base = d.select("doc_id", words.alias("w"))
+
+    def fn(batches):
+        from collections import Counter
+        for pdf in batches:
+            ids, nw, nd, cs = [], [], [], []
+            for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
+                wl = list(w)
+                ids.append(int(doc_id))
+                nw.append(len(wl))
+                nd.append(len(set(wl)))
+                cs.append(max(Counter(zip(wl, wl[1:])).values())
+                          if len(wl) >= 2 else 0)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_words": pd.Series(nw, dtype="int32"),
+                "n_distinct": pd.Series(nd, dtype="int32"),
+                "c": pd.Series(cs, dtype="int32")})
+
+    stats = base.mapInPandas(
+        fn, "doc_id long, n_words int, n_distinct int, c int")
+    return stats.select(
         "doc_id",
         F.round(F.col("n_distinct") / F.greatest("n_words", F.lit(1)), 4)
         .alias("distinct_ratio"),
         # 2*c words are covered by c occurrences of the top 2-gram
-        F.round(F.least(F.lit(2) * F.coalesce(F.col("c"), F.lit(0))
+        F.round(F.least(F.lit(2) * F.col("c")
                         / F.greatest("n_words", F.lit(1)), F.lit(1.0)), 4)
         .alias("top_bigram_frac"),
     )
@@ -946,12 +997,32 @@ def docfreq_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingle -> distinct doc explode, one shuffle on the shingle;
     the >10% threshold keeps the output tiny regardless of corpus size,
-    and the doc count is a scalar broadcast (crossJoin of one row)."""
+    and the doc count is a scalar broadcast (crossJoin of one row).
+
+    r8: the per-doc distinct shingle STRINGS are built in one
+    Arrow-batched mapInPandas over the JVM-tokenized words (" ".join ==
+    concat_ws on non-null strings; dict order preserves first-seen like
+    array_distinct — irrelevant anyway, the rows feed a groupBy) —
+    replacing the interpreted per-element transform that dominated the
+    minhash family (§B of OPTIMIZATION_r08). Shingle text reaches the
+    output here, so no hash truncation — strings stay strings."""
+    import pandas as pd
+
     d = _docs(spark, sf_dir, parallel=True)
     words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                      lambda w: w != "")
-    shingles = F.array_distinct(_shingles_expr(words, keep_empty_tokens=False))
-    per_doc = d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for w in pdf["w"]:
+                wl = list(w)
+                rows.extend({" ".join(wl[i:i + 3])
+                             for i in range(len(wl) - 2)})
+            yield pd.DataFrame({"shingle": pd.Series(rows, dtype="object")})
+
+    per_doc = (d.select(words.alias("w"))
+               .mapInPandas(fn, "shingle string"))
     n_docs = d.select(F.count("*").alias("n_docs"))
     freq = per_doc.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
     return (freq.crossJoin(F.broadcast(n_docs))
