@@ -588,6 +588,20 @@ class Interpreter:
         (x, y) = ts.linematrix
         needcharspace = False
         add = self.cur_item.add
+        # per-font memo + geometry fetched ONCE per string op (r8):
+        # _render_char used to re-read both font.__dict__ entries per
+        # char on the hottest path
+        memo = font.__dict__.get("_cid_memo")
+        if memo is None:
+            memo = font.__dict__["_cid_memo"] = {}
+        geom = font.__dict__.get("_geom")
+        if geom is None:
+            geom = font.__dict__["_geom"] = (
+                font.get_width(), font.get_height(), font.get_descent(),
+                font.is_vertical())
+        # translate_matrix inlined per char: only e/f depend on (x, y)
+        (ma, mb, mc, md, me, mf) = matrix
+        render_char = self._render_char
         for obj in seq:
             if isinstance(obj, (int, float)) and not isinstance(obj, bool):
                 if vertical:
@@ -602,9 +616,10 @@ class Interpreter:
                             y += charspace
                         else:
                             x += charspace
-                    adv = self._render_char(
-                        translate_matrix(matrix, (x, y)),
-                        font, fontsize, scaling, rise, cid)
+                    adv = render_char(
+                        (ma, mb, mc, md, x * ma + y * mc + me,
+                         x * mb + y * md + mf),
+                        font, fontsize, scaling, rise, cid, memo, geom)
                     if vertical:
                         y += adv
                     else:
@@ -617,11 +632,10 @@ class Interpreter:
                     needcharspace = True
         ts.linematrix = (x, y)
 
-    def _render_char(self, matrix, font, fontsize, scaling, rise, cid) -> float:
-        # per-font cid memo: (text, width, disp) are font-constant
-        memo = font.__dict__.get("_cid_memo")
-        if memo is None:
-            memo = font.__dict__["_cid_memo"] = {}
+    def _render_char(self, matrix, font, fontsize, scaling, rise, cid,
+                     memo, geom) -> float:
+        # per-font cid memo: (text, width, disp) are font-constant;
+        # memo + geom are fetched once per string op by render_string
         hit = memo.get(cid)
         if hit is not None:
             (text, textwidth, textdisp) = hit
@@ -634,11 +648,6 @@ class Interpreter:
             textdisp = font.char_disp(cid)
             memo[cid] = (text, textwidth, textdisp)
         adv = textwidth * fontsize * scaling
-        geom = font.__dict__.get("_geom")
-        if geom is None:
-            geom = font.__dict__["_geom"] = (
-                font.get_width(), font.get_height(), font.get_descent(),
-                font.is_vertical())
         (g_width, g_height, g_descent, vertical) = geom
         # glyph bbox (reference LTChar.__init__, layout.py:224-265)
         if vertical:
