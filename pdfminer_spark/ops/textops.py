@@ -142,8 +142,11 @@ def minhash_sigs_frame(d: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # no WHERE guard: size(words) >= 3 would evaluate the split a
+    # second time per row — short docs are skipped inside the batch fn
+    # instead (same rows dropped as explode()'s empty-array behavior)
     words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-    base = d.where(F.size(words) >= 3).select("doc_id", words.alias("w"))
+    base = d.select("doc_id", words.alias("w"))
     perm_j = np.arange(_N_PERMS, dtype=np.int64)
     sig_ddl = "doc_id long, " + ", ".join(
         "sig%d long" % j for j in range(_N_PERMS))
@@ -156,6 +159,8 @@ def minhash_sigs_frame(d: DataFrame) -> DataFrame:
             ids, sigs = [], []
             for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
                 wl = list(w)
+                if len(wl) < 3:
+                    continue
                 hs = [md5((" ".join(wl[i:i + 3])).encode("utf-8")).hexdigest()
                       for i in range(len(wl) - 2)]
                 h1 = np.array([int(h[:8], 16) for h in hs], dtype=np.int64)
@@ -796,8 +801,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = _docs(spark, sf_dir, parallel=True)
-    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                     lambda w: w != "")
 
     def fn(batches):
         import hashlib
@@ -806,7 +809,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, shs, ns = [], [], []
             for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
-                wl = list(w)
+                wl = [x for x in w if x]
                 hs = {md5((" ".join(wl[i:i + 3])).encode("utf-8"))
                       .digest()[:8] for i in range(len(wl) - 2)}
                 if not hs:
@@ -823,7 +826,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sh": pd.Series(shs, dtype="object"),
                 "n_sh": pd.Series(ns, dtype="int32")})
 
-    base = (d.select("doc_id", words.alias("w"))
+    base = (d.select("doc_id",
+                     F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                     .alias("w"))
             .mapInPandas(fn, "doc_id long, sh array<long>, n_sh int")
             .localCheckpoint(eager=True))
     bucket = F.floor(F.col("n_sh") / 16)
@@ -927,16 +932,16 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = _docs(spark, sf_dir, parallel=True)
-    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                     lambda w: w != "")
-    base = d.select("doc_id", words.alias("w"))
+    base = d.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"))
 
     def fn(batches):
         from collections import Counter
         for pdf in batches:
             ids, nw, nd, cs = [], [], [], []
             for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
-                wl = list(w)
+                wl = [x for x in w if x]
                 ids.append(int(doc_id))
                 nw.append(len(wl))
                 nd.append(len(set(wl)))
@@ -1021,19 +1026,18 @@ def docfreq_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = _docs(spark, sf_dir, parallel=True)
-    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                     lambda w: w != "")
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for w in pdf["w"]:
-                wl = list(w)
+                wl = [x for x in w if x]
                 rows.extend({" ".join(wl[i:i + 3])
                              for i in range(len(wl) - 2)})
             yield pd.DataFrame({"shingle": pd.Series(rows, dtype="object")})
 
-    per_doc = (d.select(words.alias("w"))
+    per_doc = (d.select(F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                        .alias("w"))
                .mapInPandas(fn, "shingle string"))
     n_docs = d.select(F.count("*").alias("n_docs"))
     freq = per_doc.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
@@ -1089,10 +1093,11 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = _docs(spark, sf_dir, parallel=True)
-    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                     lambda w: w != "")
-    base = (d.where(F.size(words) >= _SUBSTR_W)
-            .select("doc_id", words.alias("w")))
+    # raw split only: the interpreted empty-token filter HOF (plus its
+    # re-evaluation inside the old WHERE) moves into the batch fn
+    base = d.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"))
 
     def fn(batches):
         import hashlib
@@ -1101,7 +1106,9 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, grams = [], []
             for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
-                wl = list(w)
+                wl = [x for x in w if x]
+                if len(wl) < _SUBSTR_W:
+                    continue
                 seen = {
                     md5((" ".join(wl[i:i + _SUBSTR_W])).encode("utf-8"))
                     .digest()[:8]
