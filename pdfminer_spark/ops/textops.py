@@ -982,16 +982,36 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on doc_id, map-side combine), global df (shuffle on token;
     tokens are zipf-bounded, partial aggregation absorbs the head), then
     a shuffle join tf x df on token and a per-doc top-k window."""
+    import pandas as pd
+
     d = _docs(spark, sf_dir, parallel=True)
-    tokens = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                           lambda w: w != "")).alias("token"))
-    # tf is materialized once and feeds BOTH the join and the df
-    # aggregation (r8): tf rows are unique per (doc_id, token) by
-    # construction, so df = count of tf rows per token — the r7 plan's
-    # second corpus explode + (doc_id, token) distinct shuffle is gone
-    tf = (tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+
+    # per-doc term frequencies counted IN the batch stage (r8): the
+    # explode + (doc_id, token) groupBy exchange of ~4M token rows
+    # becomes a Counter per document emitting the per-(doc, token) rows
+    # directly; row order out of a Counter is irrelevant downstream
+    # (joins + aggregations). tf is materialized once and feeds BOTH
+    # the join and the df aggregation: tf rows are unique per
+    # (doc_id, token) by construction, so df = count of tf rows per
+    # token — the r7 plan's second corpus explode + distinct is gone.
+    def fn(batches):
+        from collections import Counter
+        for pdf in batches:
+            ids, toks, tfs = [], [], []
+            for (doc_id, w) in zip(pdf["doc_id"], pdf["w"]):
+                did = int(doc_id)
+                for (tok, c) in Counter(x for x in w if x).items():
+                    ids.append(did)
+                    toks.append(tok)
+                    tfs.append(c)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "token": pd.Series(toks, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int64")})
+
+    tf = (d.select("doc_id",
+                   F.split(F.lower(F.col("text")), "[^a-z0-9]+").alias("w"))
+          .mapInPandas(fn, "doc_id long, token string, tf long")
           .localCheckpoint(eager=True))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
