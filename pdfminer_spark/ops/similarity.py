@@ -91,23 +91,105 @@ def _norm(a):
     ))
 
 
+def _py_dot(a: list, b: list) -> float:
+    """Driver-side replica of ``_dot``'s fold: same IEEE doubles, same
+    left-to-right accumulation (Python float arithmetic IS IEEE-754
+    binary64, one operation per step, no reassociation)."""
+    acc = 0.0
+    for (x, y) in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _py_norm(a: list) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)  # == the JVM's correctly-rounded IEEE sqrt
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Driver-side replica of Spark's ROUND on DoubleType, which
+    evaluates BigDecimal(Double.toString(x)).setScale(digits, HALF_UP)
+    .toDouble. Python's repr(float) is the same shortest round-trip
+    decimal string Double.toString produces (the shortest correctly
+    rounding representation is unique), Decimal.quantize(HALF_UP) is the
+    same exact decimal arithmetic, and float() the same correctly
+    rounded decimal->binary conversion."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    r = float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+    # BigDecimal has no negative zero (-1e-9 rounds to 0.0, not -0.0);
+    # Decimal preserves the sign — canonicalize to match
+    return 0.0 if r == 0.0 else r
+
+
+def _probe_cells(cents: list, qv: list, n_probes: int) -> list[int]:
+    """Top ``n_probes`` cells by rounded centroid-vs-query cosine, ties
+    to the smaller cell id — the driver-side replica of the old 8-row
+    Spark subplan (ORDER BY ccos DESC, cell ASC LIMIT n)."""
+    scored = [
+        (cell, _round_half_up(
+            _py_dot(vec, qv) / (_py_norm(vec) * _py_norm(qv)), 4))
+        for (cell, vec) in cents
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [cell for (cell, _c) in scored[:n_probes]]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list | None:
+    """The vec_id=0 query embedding as driver-side Python floats (exact
+    float32 -> float64 widening through collect), or None if absent.
+    One bounded 1-row fetch off the pushdown-filtered scan — it replaces
+    the per-query BroadcastExchange jobs that each re-scanned the table
+    just to ship this single row (guide §1.2: the r8 isolation bench
+    measured the 8-row probed subplan of ann_ivf_topk at ~1 s of pure
+    broadcast/sort job overhead at sf0.1)."""
+    row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+           .select("embedding").first())
+    return None if row is None else [float(x) for x in row["embedding"]]
+
+
+def _lit_vec(vals: list):
+    """A literal array<double> column for a driver-side vector. The
+    elements are the same widened doubles the old broadcast row carried,
+    so every product/cast in the cosine expressions is bit-identical;
+    norms over the literal are constant-folded by the optimizer through
+    the SAME interpreted fold — once per plan instead of per row."""
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-25 by cosine similarity to the vec_id=0 query vector.
 
-    Scale: the query vector is a broadcast (literal) single row —
-    crossJoin(broadcast) keeps the big side unshuffled; top-k executes as
-    TakeOrderedAndProject (per-partition heap, driver merge)."""
+    Scale: the query vector is one bounded driver fetch inlined as plan
+    literals (r8 — formerly a crossJoin(broadcast) whose exchange build
+    re-scanned the table for one row); the big side is never shuffled;
+    top-k executes as TakeOrderedAndProject (per-partition heap, driver
+    merge)."""
     # big side spread to the session parallelism (single-file scan is
     # one partition; the per-row HOF cosine would otherwise run on one
-    # core); q stays on the plain scan — a 1-row broadcast subplan
+    # core)
     e = _emb(spark, sf_dir, parallel=True)
-    q = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
-         .select(F.col("embedding").alias("q_emb")))
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb")))
+    qv = _query_vec(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    if qv is None:
+        # no query vector: the old crossJoin against an empty broadcast
+        # produced an empty frame — emit the same empty frame
+        cos = F.lit(None).cast("double")
+        base = base.where(F.lit(False))
+    else:
+        q_emb = _lit_vec(qv)
+        cos = _dot(F.col("embedding"), q_emb) / (
+            _norm(F.col("embedding")) * _norm(q_emb))
     return (
-        joined.select("vec_id", F.round(cos, 4).alias("cosine"))
+        base.select("vec_id", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(25)
     )
@@ -580,28 +662,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is ONE partition (the r7 plan got its parallelism by accident,
     # from the window exchange)
     e = _emb(spark, sf_dir, parallel=True)
-    # q reads the PLAIN scan: the broadcast subplan is built twice
-    # (probed + the final crossJoin) and must not drag the repartition
-    # exchange of the whole table in just to keep one row
-    q = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
-         .select(F.col("embedding").alias("q_emb")))
     cents = _ivf_centroids(spark, sf_dir)
-    cent = spark.createDataFrame(cents, "cell int, centroid array<double>")
-    ccos = _dot(F.col("centroid"), F.col("q_emb")) / (
-        _norm(F.col("centroid")) * _norm(F.col("q_emb")))
-    probed = (cent.crossJoin(F.broadcast(q))
-              .select("cell", F.round(ccos, 4).alias("ccos"))
-              .orderBy(F.col("ccos").desc(), F.col("cell").asc())
-              .limit(_IVF_PROBES)
-              .select("cell"))
+    qv = _query_vec(spark, sf_dir)
     assigned = _ivf_assign(e, cents)
-    cand = (assigned.where(F.col("vec_id") != 0)
-            .join(F.broadcast(probed), "cell"))
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb")))
+    if qv is None:
+        # no query vector: the old plan crossJoined an empty broadcast
+        # -> empty result; emit the same empty frame
+        cand = assigned.where(F.lit(False))
+        cos = F.lit(None).cast("double")
+    else:
+        # probe selection runs on the driver (r8): both operands — the k
+        # trained centroids and the 1-row query vector — already live
+        # driver-side, so the former 8-row crossJoin(broadcast) + sort
+        # subplan (~1 s of exchange-build and job overhead at sf0.1) is
+        # a k-element Python computation replicating the engine's exact
+        # arithmetic: left-fold dot/norm in IEEE double (Python float
+        # ops ARE the same IEEE ops in the same order), math.sqrt == the
+        # JVM's correctly-rounded sqrt, and _round_half_up replicates
+        # ROUND on DoubleType digit for digit. Ties order by (ccos desc,
+        # cell asc) exactly as the old sort did. A/B'd equal on every
+        # corpus (tests/test_similarity.py::test_probe_selection_matches
+        # re-runs the old subplan and asserts the same cells).
+        probed = _probe_cells(cents, qv, _IVF_PROBES)
+        cand = (assigned.where(F.col("vec_id") != 0)
+                .where(F.col("cell").isin(probed)))
+        q_emb = _lit_vec(qv)
+        cos = _dot(F.col("embedding"), q_emb) / (
+            _norm(F.col("embedding")) * _norm(q_emb))
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select("vec_id", "cell", F.round(cos, 4).alias("cosine"))
+        cand.select("vec_id", "cell", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(_IVF_TOPK)
     )

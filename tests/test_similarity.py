@@ -235,3 +235,56 @@ def test_semantic_dedup_drops_within_cell_keep_first(spark, tmp_path):
     again = {r["vec_id"]: r["kept"] for r in
              semantic_dedup(spark, str(tmp_path), tau=0.95).collect()}
     assert again == {v: r["kept"] for (v, r) in rows.items()}
+
+
+def test_probe_selection_matches_engine_subplan(spark, seeded_dir):
+    """r8: ann_ivf_topk's probe selection moved driver-side (the k
+    centroids and the 1-row query vector both live on the driver; the
+    old 8-row crossJoin(broadcast)+sort subplan was ~1 s of pure job
+    overhead). The replica must pick the same cells as the engine's own
+    arithmetic: left-fold dot/norm, ROUND(...,4) HALF_UP on the
+    Double.toString decimal, ties (ccos DESC, cell ASC)."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_spark.ops import similarity as sim
+
+    for sf in (SF_DIR, seeded_dir):
+        cents = sim._ivf_centroids(spark, sf)
+        qv = sim._query_vec(spark, sf)
+        cent = spark.createDataFrame(cents,
+                                     "cell int, centroid array<double>")
+        q = (sim._emb(spark, sf).filter(F.col("vec_id") == 0)
+             .select(F.col("embedding").alias("q_emb")))
+        ccos = sim._dot(F.col("centroid"), F.col("q_emb")) / (
+            sim._norm(F.col("centroid")) * sim._norm(F.col("q_emb")))
+        engine = [r["cell"] for r in
+                  (cent.crossJoin(F.broadcast(q))
+                   .select("cell", F.round(ccos, 4).alias("ccos"))
+                   .orderBy(F.col("ccos").desc(), F.col("cell").asc())
+                   .limit(sim._IVF_PROBES).select("cell")).collect()]
+        assert engine == sim._probe_cells(cents, qv, sim._IVF_PROBES)
+
+
+def test_round_half_up_replicates_spark_round():
+    """The driver-side ROUND replica is bit-equal to the engine's ROUND
+    on DoubleType across sign, ties, tiny magnitudes and float32-widened
+    inputs (incl. the BigDecimal no-negative-zero case)."""
+    import numpy as np
+
+    from pdfminer_spark.ops.similarity import _round_half_up
+    from pdfminer_spark.spark.session import get_spark
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    spark = get_spark("round-ab")
+    vals = [0.12345, 0.123449999999, 0.1234500000001, -0.12345, 1e-9,
+            -1e-9, 0.99995, -0.99995, 0.00005, -0.00005, 1.0, -1.0,
+            0.0, -0.0, 123.456789, 2.5e-5, -2.5e-5, 7.62939453125e-06]
+    rng = np.random.default_rng(5)
+    vals += list(rng.uniform(-1, 1, 2000))
+    vals += [float(np.float32(v)) for v in rng.uniform(-1, 1, 500)]
+    got = (spark.createDataFrame(pd.DataFrame({"x": vals}), "x double")
+           .select("x", F.round("x", 4).alias("r")).toPandas())
+    bits = lambda s: np.asarray(s, dtype=np.float64).view(np.uint64)
+    mine = pd.Series([_round_half_up(v, 4) for v in got["x"]])
+    assert (bits(got["r"]) == bits(mine)).all()
