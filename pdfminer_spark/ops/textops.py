@@ -275,26 +275,27 @@ _CC_COLLECT_EDGES = 100_000  # driver union-find below this, loop above
 
 def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS,
                   collect_threshold: int = _CC_COLLECT_EDGES) -> DataFrame:
-    """(id, rep) for every endpoint of a symmetric (src, dst) edge list;
-    rep = the minimum id in the node's connected component.
+    """(id, rep) for every endpoint of an (src, dst) edge list — directed
+    or symmetric; components are of the undirected graph either way —
+    with rep = the minimum id in the node's connected component.
 
     Adaptive strategy (the same size-based call AQE makes for joins):
-    the edge list is counted once; below ``collect_threshold`` edges the
-    components are solved by an EXPLICITLY BOUNDED driver union-find
-    (one collect of at most threshold rows — at sf0.1 the near-dup
-    graph is a few hundred edges, and per-iteration Spark job overhead
-    dominates any distributed loop), otherwise by iterative min-label
-    propagation over the candidate graph: each round is one shuffle of
-    (node, rep) rows, materialized (cache + count) so the next round
-    starts from data instead of a growing plan, with early exit once no
-    label changes. Round count is bounded by the duplicate-cluster
-    diameter — single digits for real dup clusters; the published
-    large-star/small-star alternation (Kiveris et al., SoCC'14) brings
-    it to O(log n) if adversarial chains ever matter."""
+    one bounded probe collects at most ``collect_threshold + 1`` edge
+    rows; if the whole list fits, the components are solved by an
+    EXPLICITLY BOUNDED driver union-find on those same rows (at sf0.1
+    the near-dup graph is a few hundred edges, and per-iteration Spark
+    job overhead dominates any distributed loop — r8: the probe IS the
+    collect, one job instead of the old cache + count + collect, and
+    callers now pass the directed pair list, so the heavy candidate
+    subplan is no longer evaluated once per union branch just to
+    symmetrize edges the driver path never needed). Larger graphs take
+    the published large-star/small-star alternation (Kiveris et al.,
+    SoCC'14; O(log^2 n) rounds on ANY graph), for which the edge list is
+    cached and symmetrized here — star's neighborhood mins need every
+    endpoint on the src side."""
     spark = edges.sparkSession
-    edges = edges.cache()
-    n_edges = edges.count()
-    if n_edges <= collect_threshold:
+    rows = edges.limit(collect_threshold + 1).collect()
+    if len(rows) <= collect_threshold:
         parent: dict = {}
 
         def find(x):
@@ -305,7 +306,7 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS,
                 (parent[x], x) = (root, parent[x])
             return root
 
-        for r in edges.collect():  # bounded by collect_threshold rows
+        for r in rows:  # bounded by collect_threshold rows
             (a, b) = (r["src"], r["dst"])
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -315,27 +316,27 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_MAX_ITERS,
                 if rb < ra:
                     (ra, rb) = (rb, ra)
                 parent[rb] = ra
-        rows = [(x, find(x)) for x in parent]
-        edges.unpersist()
-        return spark.createDataFrame(rows, "id long, rep long")
-    # distributed path: large-star/small-star alternation (Kiveris et
-    # al., "Connected Components in MapReduce and Beyond", SoCC'14) —
-    # O(log^2 n) rounds on ANY graph, vs the min-label loop's
-    # O(diameter): an adversarial million-hop chain converges in ~20
-    # alternations instead of hitting an iteration bound (round-3
-    # verdict #6 replaced the fail-loud bound with this). Edges stay
-    # cached (materialized by the count above): every round and its
+        out = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(out, "id long, rep long")
+    # distributed path: large-star/small-star alternation — O(log^2 n)
+    # rounds vs the min-label loop's O(diameter): an adversarial
+    # million-hop chain converges in ~20 alternations instead of
+    # hitting an iteration bound (round-3 verdict #6). Edges are cached
+    # (materialized by star's first checkpoint): every round and its
     # convergence check would otherwise re-derive the whole upstream
-    # candidate pipeline.
+    # candidate pipeline. An already-symmetric input merely doubles
+    # each edge; every star round is distinct-ed, so the labeling is
+    # unaffected.
+    edges = edges.cache()
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     try:
-        rep = _cc_star(edges, max_iters=_STAR_MAX_ROUNDS)
+        rep = _cc_star(sym, max_iters=_STAR_MAX_ROUNDS)
     finally:
         edges.unpersist()
-    # note: the returned frame stays cached (bounded by the candidate
-    # node count) so the caller's downstream action reuses the converged
-    # labels instead of replaying the loop lineage; long-lived sessions
-    # release it (and every op-level cache) with
-    # spark.catalog.clearCache(), as bench.py does between queries
+    # note: the returned frame stays materialized (bounded by the
+    # candidate node count) so the caller's downstream action reuses the
+    # converged labels instead of replaying the loop lineage
     return rep
 
 
@@ -431,11 +432,13 @@ def curate_near_dups(spark: SparkSession, sf_dir: str,
     CommonCrawl dedup reports), so AQE must pick the strategy (round 2's
     F.broadcast(kill) was a driver-OOM at 100x; VERDICT r2 #3)."""
     pairs = dedup_minhash_pairs(spark, sf_dir)
-    sim = (pairs.where(F.col("est_jaccard") >= threshold)
-           .select("id_a", "id_b"))
-    edges = (sim.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .union(sim.select(F.col("id_b").alias("src"),
-                               F.col("id_a").alias("dst"))))
+    # directed pairs only — _cc_min_label solves the undirected graph
+    # and symmetrizes internally iff the distributed path engages (r8:
+    # the old src/dst union evaluated the banded-candidate subplan once
+    # per branch just to hand the driver union-find edges it never
+    # needed twice)
+    edges = (pairs.where(F.col("est_jaccard") >= threshold)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     rep = _cc_min_label(edges)
     kill = (rep.where(F.col("rep") != F.col("id"))
             .select(F.col("id").alias("doc_id")))
@@ -463,11 +466,9 @@ def curate_near_dups_best(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     pairs = dedup_minhash_pairs(spark, sf_dir)
-    sim = (pairs.where(F.col("est_jaccard") >= threshold)
-           .select("id_a", "id_b"))
-    edges = (sim.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .union(sim.select(F.col("id_b").alias("src"),
-                               F.col("id_a").alias("dst"))))
+    # directed pairs only (see curate_near_dups)
+    edges = (pairs.where(F.col("est_jaccard") >= threshold)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     rep = _cc_min_label(edges)
     d = _docs(spark, sf_dir)
     n_words = F.size(F.filter(
