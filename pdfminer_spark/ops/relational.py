@@ -79,36 +79,44 @@ def interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (r8): banded interval join — the bare user_id equi-join
     produced every same-user pair (C(events_per_user, 2) rows per user,
     33M at sf1.0) only to filter 99.98% of them with the 300s range
-    predicate. Each event now also carries its 300s time bucket; one
-    side explodes to {bucket-1, bucket, bucket+1} and the join key is
-    (user_id, bucket), so a pair is generated only when the two events
-    are within one bucket of each other (a superset of |dt| <= 300s —
-    the exact predicate is re-applied post-join, so the result set is
-    identical). Each qualifying pair matches exactly once: the b side
-    has a single bucket value and the a-side explode values are
-    distinct. Shuffle is 3x the event rows (8-byte columns only) in
-    exchange for a join output proportional to true matches instead of
-    to per-user-count squared."""
+    predicate. Each event carries its 300s time bucket and candidates
+    are generated TIME-ORDERED: the earlier event of a qualifying pair
+    (by the total order (ts, event_id)) has a bucket equal to or one
+    below the later event's, so the earlier side explodes to just
+    {bucket, bucket+1} (not the symmetric {b-1, b, b+1} — a 2x instead
+    of 3x explode of the 8-byte key columns) and the join key is
+    (user_id, bucket). The exact |dt| <= 300s predicate is re-applied
+    post-join and the output pair is re-oriented by event id (event_a =
+    the smaller id, gap_ms = ts[larger id] - ts[smaller id]), so the
+    result set is identical to the id-oriented formulation. Each
+    qualifying pair matches exactly once: the later side has a single
+    bucket value, the earlier side's two explode values are distinct,
+    and exactly one of them equals the later bucket. Join output stays
+    proportional to true matches instead of to per-user-count squared."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("ts_ms"))
     bkt = F.floor(F.col("ts_ms") / 300000)
     a = ev.select(
-        "user_id", F.col("event_id").alias("event_a"),
-        F.col("ts_ms").alias("ts_a"),
-        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"))
+        "user_id", F.col("event_id").alias("id_e"),
+        F.col("ts_ms").alias("ts_e"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"))
     b = ev.select(
-        "user_id", F.col("event_id").alias("event_b"),
-        F.col("ts_ms").alias("ts_b"), bkt.alias("bkt"))
+        "user_id", F.col("event_id").alias("id_l"),
+        F.col("ts_ms").alias("ts_l"), bkt.alias("bkt"))
+    earlier = ((F.col("ts_e") < F.col("ts_l"))
+               | ((F.col("ts_e") == F.col("ts_l"))
+                  & (F.col("id_e") < F.col("id_l"))))
     return (
         a.join(b, ["user_id", "bkt"])
-        .where(
-            (F.col("event_a") < F.col("event_b"))
-            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= 300000)
-        )
+        .where(earlier & (F.col("ts_l") - F.col("ts_e") <= 300000))
         .select(
-            "user_id", "event_a", "event_b",
-            (F.col("ts_b") - F.col("ts_a")).alias("gap_ms"),
+            "user_id",
+            F.least("id_e", "id_l").alias("event_a"),
+            F.greatest("id_e", "id_l").alias("event_b"),
+            F.when(F.col("id_e") < F.col("id_l"),
+                   F.col("ts_l") - F.col("ts_e"))
+            .otherwise(F.col("ts_e") - F.col("ts_l")).alias("gap_ms"),
         )
     )
 

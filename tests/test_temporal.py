@@ -84,3 +84,45 @@ def test_scd2_range_join_interval_edges(spark, tmp_path):
     got = {r["epoch_year"]: (r["n_orders"], r["revenue"])
            for r in scd2_range_join(spark, str(tmp_path)).collect()}
     assert got == {1996: (2, 30.0), 1997: (1, 40.0)}
+
+
+def test_interval_self_join_bucket_boundaries(spark, tmp_path):
+    """r8: the banded interval join explodes only the time-EARLIER side
+    to {bucket, bucket+1}. Pin the boundary semantics against brute
+    force: gaps of exactly 300s (kept) and 300.001s (dropped),
+    cross-bucket pairs, equal timestamps, and a pair whose LARGER
+    event_id is the earlier event (the re-orientation case)."""
+    import itertools
+
+    from pdfminer_spark.ops.relational import interval_self_join
+
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # u1: straddles a 300s bucket boundary; 299_999 + 1 ms gaps
+        (1, base + 299_999_000, 1, "a", 0.0),
+        (2, base + 300_000_000, 1, "a", 0.0),
+        (3, base + 600_000_000, 1, "a", 0.0),   # dt to e2 = 300s exactly
+        (4, base + 600_001_000, 1, "a", 0.0),   # dt to e2 = 300.001s
+        # u2: equal timestamps (tie broken by id) + reversed id/time
+        (6, base + 100_000_000, 2, "a", 0.0),
+        (5, base + 100_000_000, 2, "a", 0.0),
+        (9, base + 150_000_000, 2, "a", 0.0),   # earlier than id 7
+        (7, base + 400_000_000, 2, "a", 0.0),   # dt to e9 = 250s, id 7 > 9? no: 7 < 9 -> reorient
+    ]
+    sf = _events(spark, tmp_path, [(i, pd_ts(t), u, e, v)
+                                   for (i, t, u, e, v) in rows])
+    got = {(r["user_id"], r["event_a"], r["event_b"], r["gap_ms"])
+           for r in interval_self_join(spark, sf).collect()}
+    # brute force over all same-user id-ordered pairs
+    exp = set()
+    for ((ia, ta, ua), (ib, tb, ub)) in itertools.combinations(
+            sorted((i, t // 1000, u) for (i, t, u, _e, _v) in rows), 2):
+        if ua == ub and abs(ta - tb) <= 300_000:
+            exp.add((ua, ia, ib, tb - ta))
+    assert got == exp and len(exp) >= 4
+
+
+def pd_ts(us):
+    import pandas as pd
+
+    return pd.Timestamp(us, unit="us")
