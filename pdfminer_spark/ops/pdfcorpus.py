@@ -50,14 +50,27 @@ def _corpus_order():
 
 def _pdf_docs(spark: SparkSession) -> DataFrame:
     """(doc_id, name, text): REAL extraction over the vendored PDFs."""
+    import pandas as pd
+
     from ..spark.fixtures import TRANSCRIPTS_SCHEMA, _load_payloads
     from ..spark.pipeline import extract_transcripts
 
     order = _corpus_order()
     payloads = dict(_load_payloads())
     t0 = datetime.datetime(2026, 1, 1)
-    rows = [(name, 0, "tool", payloads[name], "pdf", t0) for name in order]
-    tr = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    # pandas input -> Arrow createDataFrame: the ~4 MB of base64
+    # payload rows cost ~0.4 s through the pickled-tuples path per
+    # evaluation, single-digit ms as Arrow batches (r8; the session
+    # already enables arrow.pyspark)
+    pdf = pd.DataFrame({
+        "conv_id": order,
+        "turn_idx": pd.Series([0] * len(order), dtype="int32"),
+        "role": "tool",
+        "text": [payloads[name] for name in order],
+        "tool": "pdf",
+        "ts": pd.Series([t0] * len(order), dtype="datetime64[us]"),
+    })
+    tr = spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA)
     # 10 one-page docs: cap the fan-out (32 default shuffle partitions
     # would fork a python worker per mostly-empty partition) and
     # materialize via eager localCheckpoint — the frame feeds BOTH the
@@ -65,12 +78,16 @@ def _pdf_docs(spark: SparkSession) -> DataFrame:
     # checkpoint the PDF extraction would execute once per consumer
     ext = extract_transcripts(tr, page_numbers=[0], salt=2,
                               num_partitions=len(order))
-    mapping = spark.createDataFrame(
-        [(name, i) for i, name in enumerate(order)],
-        "conv_id string, doc_id long")
-    return (ext.join(F.broadcast(mapping), "conv_id")
-            .select("doc_id", F.col("conv_id").alias("name"), "text")
-            .localCheckpoint(eager=True))
+    # name -> doc_id as a literal map lookup: same values the old 10-row
+    # broadcast-joined mapping produced, without the BroadcastExchange
+    # build job (r8)
+    mapping = F.create_map(*[
+        lit for (i, name) in enumerate(order)
+        for lit in (F.lit(name), F.lit(i))])
+    return (ext.select(
+        F.element_at(mapping, F.col("conv_id")).cast("long").alias("doc_id"),
+        F.col("conv_id").alias("name"), "text")
+        .localCheckpoint(eager=True))
 
 
 def curate_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
