@@ -31,14 +31,24 @@ BOXES_DDL = ("conv_id string, turn_idx int, box_id int, page int, "
 
 
 def _corpus_transcripts(spark: SparkSession) -> DataFrame:
-    """One PDF turn per vendored sample; conv_id = sample name."""
+    """One PDF turn per vendored sample; conv_id = sample name. The
+    fixture enters as one pandas frame over the session's Arrow path —
+    the ~4 MB of base64 payload rows cost ~0.4 s per evaluation through
+    the pickled-tuples createDataFrame (r8, the _pdf_docs fix)."""
     from pdfminer_spark.spark.fixtures import (TRANSCRIPTS_SCHEMA,
                                                _load_payloads)
 
     ts = datetime.datetime(2026, 1, 1)
-    rows = [(name, 0, "tool", b64, "pdf", ts)
-            for (name, b64) in _load_payloads()]
-    return spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    payloads = _load_payloads()
+    pdf = pd.DataFrame({
+        "conv_id": [name for (name, _b64) in payloads],
+        "turn_idx": pd.Series([0] * len(payloads), dtype="int32"),
+        "role": "tool",
+        "text": [b64 for (_name, b64) in payloads],
+        "tool": "pdf",
+        "ts": pd.Series([ts] * len(payloads), dtype="datetime64[us]"),
+    })
+    return spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA)
 
 
 def _explode_boxes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
