@@ -644,29 +644,26 @@ _SIM_BLOCKS = [(1, 0, 11), (1, 11, 11), (1, 22, 10),
 _SIM_COMBOS = list(itertools.combinations(range(6), 3))  # 20 tables
 
 
-def _simhash_candidates(sims: DataFrame) -> DataFrame:
-    """Distinct (id_a, id_b) candidate pairs from Manku combination keys
-    over a (doc_id, simhash) frame. Split out so tests can inject
-    synthetic fingerprints (exact hamming-3 worst cases) and assert the
-    candidate-volume bound directly.
+def _simhash_keyed(sims: DataFrame) -> DataFrame:
+    """(doc_id, simhash, mk): the 20 Manku combination keys per row of a
+    (doc_id, simhash) frame.
 
-    Shape note (VERDICT r2 minor #4): the distinct() dedups bare id
-    pairs; the 16-char signatures are re-joined afterwards, halving the
-    distinct's shuffle width versus dragging them through."""
+    Combo keys packed as ONE long (11-bit block slots + combo index:
+    ((ci*2048 + b_i)*2048 + b_j)*2048 + b_k < 2^38): an 8-byte shuffle
+    key that hashes in one op, vs the r4 '#'-joined decimal string
+    (~30 bytes + string hash). Key format never reaches the output —
+    only the candidate SET matters — so the oracle is untouched.
+    r8: the hex parse + 6 block extractions + 20 key packings run
+    vectorized over the whole Arrow batch (int(s[k:k+8], 16) ==
+    conv(substring(simhash)); >> == shiftright on non-negatives) —
+    the interpreted JVM expression tree measured 1.1 s per evaluation
+    at sf1.0 vs ~0.1 s here. The fingerprint string rides along so the
+    caller can recover the rep frame from the combo-0 rows instead of
+    materializing the groupBy separately; join sides project it away
+    before any exchange."""
     import numpy as np
     import pandas as pd
 
-    # combo keys packed as ONE long (11-bit block slots + combo index:
-    # ((ci*2048 + b_i)*2048 + b_j)*2048 + b_k < 2^38): an 8-byte shuffle
-    # key that hashes in one op, vs the r4 '#'-joined decimal string
-    # (~30 bytes + string hash). Key format never reaches the output —
-    # only the candidate SET matters — so the oracle is untouched.
-    # r8: the hex parse + 6 block extractions + 20 key packings run
-    # vectorized over the whole Arrow batch (int(s[k:k+8], 16) ==
-    # conv(substring(simhash)); >> == shiftright on non-negatives) —
-    # the interpreted JVM expression tree measured 1.1 s per evaluation
-    # at sf1.0 vs ~0.1 s here — and the keyed frame is STILL
-    # materialized once for both self-join sides.
     def _key_batches(batches):
         for pdf in batches:
             n = len(pdf)
@@ -687,16 +684,36 @@ def _simhash_candidates(sims: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": np.repeat(pdf["doc_id"].to_numpy(),
                                     len(_SIM_COMBOS)),
+                "simhash": np.repeat(pdf["simhash"].to_numpy(),
+                                     len(_SIM_COMBOS)),
                 "mk": keys.reshape(-1)})
 
-    keyed = (sims.select("doc_id", "simhash")
-             .mapInPandas(_key_batches, "doc_id long, mk long")
-             .localCheckpoint(eager=True))
+    return (sims.select("doc_id", "simhash")
+            .mapInPandas(_key_batches, "doc_id long, simhash string, mk long"))
+
+
+def _simhash_candidates_from_keyed(keyed: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from a materialized keyed
+    frame. Shape note (VERDICT r2 minor #4): the distinct() dedups bare
+    id pairs — the join sides carry (doc_id, mk) only, the signatures
+    are re-joined afterwards, halving the distinct's shuffle width
+    versus dragging them through."""
     a = keyed.select(F.col("doc_id").alias("id_a"), "mk")
     b = keyed.select(F.col("doc_id").alias("id_b"), "mk")
     return (a.join(b, ["mk"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+
+
+def _simhash_candidates(sims: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from Manku combination keys
+    over a (doc_id, simhash) frame. Split out so tests (and the bench's
+    candidate telemetry) can inject synthetic fingerprints (exact
+    hamming-3 worst cases) and assert the candidate-volume bound
+    directly. The keyed frame is materialized once for both self-join
+    sides."""
+    return _simhash_candidates_from_keyed(
+        _simhash_keyed(sims).localCheckpoint(eager=True))
 
 
 def _simhash_cand(sims: DataFrame) -> DataFrame:
@@ -720,10 +737,19 @@ def _simhash_cand(sims: DataFrame) -> DataFrame:
     by the ContextCleaner, not pinned in the CacheManager."""
     sims = sims.localCheckpoint(eager=True)
     # reps feeds three subplans (the Manku keying and both signature
-    # re-joins) — materialize the groupBy once (r8)
-    reps = (sims.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
-            .localCheckpoint(eager=True))
-    cand = _simhash_candidates(reps)
+    # re-joins). r8 follow-up: instead of materializing the groupBy AND
+    # the keyed frame separately, the key stage carries the fingerprint
+    # string and is the ONLY materialization — reps are recovered from
+    # it by filtering to combination 0 (every rep emits exactly one row
+    # per combination; the combo index is the key's high bits, so
+    # mk >> 33 == 0 selects one row per rep). One eager checkpoint job
+    # instead of two; the join sides still project (doc_id, mk) only,
+    # so the self-join shuffle stays 16 bytes wide.
+    reps = sims.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    keyed = _simhash_keyed(reps).localCheckpoint(eager=True)
+    cand = _simhash_candidates_from_keyed(keyed)
+    reps = (keyed.where(F.shiftright(F.col("mk"), 33) == 0)
+            .select("doc_id", "simhash"))
     sa = reps.select(F.col("doc_id").alias("id_a"),
                      F.col("simhash").alias("sim_a"))
     sb = reps.select(F.col("doc_id").alias("id_b"),
