@@ -89,62 +89,82 @@ def rldecode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_LZW_BASE = [bytes([c]) for c in range(256)] + [b"", b""]
+_LZW_BUMP = {9: 511, 10: 1023, 11: 2047, 12: 1 << 30}
+_LZW_POWERS = {n: (1 << np.arange(n - 1, -1, -1, dtype=np.int64))
+               for n in (9, 10, 11, 12)}
+
+
 def lzwdecode(data: bytes) -> bytes:
     """PDF LZW variant: 9..12-bit codes, 256=clear, 257=EOD.
 
-    Bit extraction is done in one vectorized pass (numpy) over the whole
-    payload; table building is the inherently sequential part.
-    """
+    Codes are extracted in vectorized numpy chunks: the code width can
+    only grow when the table reaches 511/1023/2047 entries and every
+    consumed code appends at most one entry, so up to
+    (boundary - len(table)) codes are guaranteed to share the current
+    width and decode as one reshape-matmul. A CLEAR inside a chunk
+    resets the width, so the rest of that chunk (parsed at the old
+    width) is discarded and re-extracted — identical code sequence to
+    the one-at-a-time loop, ~5x fewer numpy calls. The base table is a
+    module constant shared across resets (entries are immutable bytes;
+    ``list.copy`` per reset instead of 258 fresh objects)."""
     if not data:
         return b""
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     nbits_total = len(bits)
     out = []
-    table: list[bytes] = []
+    table = _LZW_BASE.copy()
     prev: bytes | None = None
     nbits = 9
     pos = 0
-
-    def reset_table():
-        nonlocal table, prev, nbits
-        table = [bytes([c]) for c in range(256)] + [b"", b""]
-        prev = None
-        nbits = 9
-
-    reset_table()
-    powers = {n: (1 << np.arange(n - 1, -1, -1, dtype=np.int64)) for n in (9, 10, 11, 12)}
-    while pos + nbits <= nbits_total:
-        code = int(bits[pos : pos + nbits].astype(np.int64) @ powers[nbits])
-        pos += nbits
-        if code == 256:
-            reset_table()
-            continue
-        if code == 257:
-            break
-        if prev is None:
-            if code >= len(table):
+    done = False
+    while not done and pos + nbits <= nbits_total:
+        count = max(1, min(_LZW_BUMP[nbits] - len(table),
+                           (nbits_total - pos) // nbits))
+        codes = (bits[pos:pos + count * nbits]
+                 .reshape(count, nbits)
+                 .astype(np.int64) @ _LZW_POWERS[nbits]).tolist()
+        restart = False
+        for code in codes:
+            pos += nbits
+            if code == 256:
+                table = _LZW_BASE.copy()
+                prev = None
+                nbits = 9
+                # remaining chunk codes were parsed at the old width
+                restart = True
                 break
-            x = table[code]
+            if code == 257:
+                done = True
+                break
+            if prev is None:
+                if code >= len(table):
+                    done = True
+                    break
+                x = table[code]
+                out.append(x)
+                prev = x
+                continue
+            if code < len(table):
+                x = table[code]
+                table.append(prev + x[:1])
+            elif code == len(table):
+                x = prev + prev[:1]
+                table.append(x)
+            else:
+                done = True
+                break
             out.append(x)
             prev = x
+        if restart:
             continue
-        if code < len(table):
-            x = table[code]
-            table.append(prev + x[:1])
-        elif code == len(table):
-            x = prev + prev[:1]
-            table.append(x)
-        else:
-            break
-        out.append(x)
-        prev = x
         size = len(table)
-        if size == 511:
-            nbits = 10
-        elif size == 1023:
-            nbits = 11
-        elif size == 2047:
+        if size >= 2047:
             nbits = 12
+        elif size >= 1023:
+            nbits = 11
+        elif size >= 511:
+            nbits = 10
     return b"".join(out)
 
 
